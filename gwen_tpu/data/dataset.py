@@ -1,0 +1,169 @@
+"""Runtime datasets: member-graph and CNN views over the ensemble archive.
+
+Reference parity:
+
+* ``load_data`` (utils.py:478-520): open train/test zarr → array transposed to
+  ``(time, member, height, ncells)``.
+* ``load_config_and_data`` (utils.py:445-475): + optional coarsening.
+* ``GraphDataset`` (utils.py:164-211): nodes = ensemble members; node features
+  = flattened ``height × ncells`` field; member indices shuffled once, first
+  ``member_split`` are inputs, rest are targets marked by a boolean
+  ``target_mask``. The reference feeds *all* member features to the model and
+  applies the mask only in the loss; ``mask_inputs=True`` additionally zeroes
+  target-member features in the input (principled extension).
+* ``ConvDataset`` (utils.py:50-161): per time step, ``(x, y)`` member stacks,
+  with a ``simplify`` 1-in/1-out mode (utils.py:92-100).
+
+Everything returns static-shape numpy arrays ready for ``device_put``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from gwen_tpu.config import DataConfig, TrainConfig
+from gwen_tpu.data import zarrstore
+from gwen_tpu.data.preprocess import coarsen_block_mean
+
+
+def load_split(config: DataConfig, which: str = "train") -> tuple[np.ndarray, dict]:
+    """Load the train or test store as (time, member, height, ncells) float32."""
+    path = config.data_train if which == "train" else config.data_test
+    arr = zarrstore.open_array(path)
+    values = arr.read().astype(np.float32)
+    dims = list(arr.dims)
+    want = ["time", "member", "height", "ncells"]
+    if set(want) <= set(dims):
+        values = np.transpose(values, [dims.index(d) for d in want])
+    if config.coarsen > 1:
+        values = coarsen_block_mean(values, config.coarsen, axes=(2, 3))
+    return values, arr.meta
+
+
+def load_data(config: DataConfig) -> tuple[np.ndarray, np.ndarray, dict]:
+    """(train, test, meta) — utils.py:478-520 + coarsening (utils.py:445-475)."""
+    train, meta = load_split(config, "train")
+    test, _ = load_split(config, "test")
+    return train, test, meta
+
+
+@dataclass
+class MemberGraphDataset:
+    """Ensemble-member graph view: one sample per time step.
+
+    ``features(t)`` returns ``(members, height*ncells)`` node features;
+    ``target_mask`` is fixed per dataset instance (reference shuffles member
+    indices once at construction, utils.py:181-186).
+    """
+
+    data: np.ndarray  # (time, member, height, ncells)
+    member_split: int
+    seed: int = 42
+    simplify: bool = False
+    mask_inputs: bool = False
+
+    def __post_init__(self) -> None:
+        t, m, h, c = self.data.shape
+        rng = np.random.default_rng(self.seed)
+        perm = rng.permutation(m)
+        if self.simplify:
+            # 1 input / 1 target member (utils.py:92-100).
+            self.input_indices = perm[:1]
+            self.target_indices = perm[1:2]
+        else:
+            self.input_indices = np.sort(perm[: self.member_split])
+            self.target_indices = np.sort(perm[self.member_split :])
+        mask = np.zeros(m, bool)
+        mask[self.target_indices] = True
+        self.target_mask = mask
+
+    def __len__(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def num_nodes(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def num_features(self) -> int:
+        return self.data.shape[2] * self.data.shape[3]
+
+    def features(self, t: int) -> np.ndarray:
+        x = self.data[t].reshape(self.num_nodes, self.num_features)
+        if self.mask_inputs:
+            x = x.copy()
+            x[self.target_mask] = 0.0
+        return x
+
+    def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0):
+        """Yield (x, target_mask) batches over time steps, each
+        ``(batch, members, features)``; the last partial batch is dropped so
+        shapes stay static under jit."""
+        t = len(self)
+        order = np.arange(t)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for start in range(0, t - batch_size + 1, batch_size):
+            idx = order[start : start + batch_size]
+            x = np.stack([self.features(i) for i in idx])
+            yield x, self.target_mask
+
+
+@dataclass
+class ConvEnsembleDataset:
+    """CNN view: per time step, input members as channels → target members.
+
+    Reference ``ConvDataset`` (utils.py:50-161) + ``collate_fn``
+    (models_cnn.py:404-408): x is ``(batch, members_in, height, ncells)`` and
+    y ``(batch, members_out, height, ncells)``.
+    """
+
+    data: np.ndarray  # (time, member, height, ncells)
+    member_split: int
+    seed: int = 42
+    simplify: bool = False
+
+    def __post_init__(self) -> None:
+        m = self.data.shape[1]
+        rng = np.random.default_rng(self.seed)
+        perm = rng.permutation(m)
+        if self.simplify:
+            self.input_indices = perm[:1]
+            self.target_indices = perm[1:2]
+        else:
+            self.input_indices = np.sort(perm[: self.member_split])
+            self.target_indices = np.sort(perm[self.member_split :])
+
+    def __len__(self) -> int:
+        return self.data.shape[0]
+
+    def __getitem__(self, t: int) -> tuple[np.ndarray, np.ndarray]:
+        return self.data[t, self.input_indices], self.data[t, self.target_indices]
+
+    def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0):
+        t = len(self)
+        order = np.arange(t)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for start in range(0, t - batch_size + 1, batch_size):
+            idx = order[start : start + batch_size]
+            x = np.stack([self.data[i, self.input_indices] for i in idx])
+            y = np.stack([self.data[i, self.target_indices] for i in idx])
+            yield x, y
+
+
+def make_datasets(
+    data_cfg: DataConfig, train_cfg: TrainConfig, kind: str = "graph"
+) -> tuple:
+    """Convenience: load both splits and wrap them (orchestrator helper)."""
+    train, test, meta = load_data(data_cfg)
+    cls = MemberGraphDataset if kind == "graph" else ConvEnsembleDataset
+    mk = lambda d: cls(  # noqa: E731
+        data=d,
+        member_split=train_cfg.member_split,
+        seed=train_cfg.seed,
+        simplify=train_cfg.simplify,
+    )
+    return mk(train), mk(test), meta

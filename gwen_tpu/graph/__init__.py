@@ -1,0 +1,33 @@
+from gwen_tpu.graph.graph import (
+    BlockEllGraph,
+    DenseGraph,
+    Graph,
+    build_graph,
+    gcn_normalize,
+    to_block_ell,
+    to_dense,
+)
+from gwen_tpu.graph.build import (
+    complete_edges,
+    erdos_renyi_edges,
+    grid2d_edges,
+    icosphere_edges,
+)
+from gwen_tpu.graph.reorder import apply_order, bandwidth, rcm_order
+
+__all__ = [
+    "BlockEllGraph",
+    "DenseGraph",
+    "Graph",
+    "build_graph",
+    "gcn_normalize",
+    "to_block_ell",
+    "to_dense",
+    "complete_edges",
+    "erdos_renyi_edges",
+    "grid2d_edges",
+    "icosphere_edges",
+    "apply_order",
+    "bandwidth",
+    "rcm_order",
+]

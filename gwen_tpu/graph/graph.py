@@ -1,0 +1,262 @@
+"""Static-shape graph containers for TPU aggregation.
+
+The reference leans on PyTorch-Geometric: ``edge_index`` COO tensors consumed by
+``GCNConv``'s torch-scatter/torch-sparse CUDA kernels (SURVEY §2.2). On TPU,
+everything under ``jit`` must have static shapes, so graphs are immutable pytree
+dataclasses with host-side (numpy) construction and padding:
+
+* :class:`Graph` — COO edge list with precomputed normalized edge coefficients,
+  padded to a static edge count. Aggregation = ``segment_sum`` (XLA scatter-add)
+  or the Pallas SpMM kernel (``gwen_tpu.ops``).
+* :class:`DenseGraph` — dense normalized adjacency, for small graphs such as the
+  reference's fully-connected ensemble-member graph (~125 nodes,
+  ``erdos_renyi_graph(nodes, edge_prob=1)``, utils.py:176). A dense ``adj @ x``
+  rides the MXU directly and beats any sparse path at this size.
+* :class:`BlockEllGraph` — padded per-node neighbor lists (ELL) grouped into
+  node blocks with bounded source windows, the layout consumed by the Pallas
+  gather-MMA-scatter SpMM kernel (mesh-scale graphs).
+
+All normalization (GCN symmetric norm, self loops) is precomputed on the host at
+construction; device code only ever multiplies and accumulates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from flax import struct
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+@struct.dataclass
+class Graph:
+    """COO graph, padded to static shapes.
+
+    ``out[receivers[e]] += weights[e] * x[senders[e]]`` defines aggregation.
+    Padding edges have ``weights == 0`` and point at node 0, so they are
+    numerically inert without any masking in the hot path.
+    """
+
+    senders: Array  # (E_pad,) int32
+    receivers: Array  # (E_pad,) int32
+    weights: Array  # (E_pad,) float32 — normalized coefficients, 0 on padding
+    num_nodes: int = struct.field(pytree_node=False)
+    num_edges: int = struct.field(pytree_node=False)  # actual edges (<= E_pad)
+
+    @property
+    def num_padded_edges(self) -> int:
+        return int(self.senders.shape[0])
+
+
+@struct.dataclass
+class DenseGraph:
+    """Dense normalized adjacency; aggregation is ``adj @ x`` on the MXU."""
+
+    adj: Array  # (N, N) float32; row r holds the coefficients feeding node r
+    num_nodes: int = struct.field(pytree_node=False)
+    num_edges: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class BlockEllGraph:
+    """Blocked-ELL layout for the Pallas SpMM kernel.
+
+    Nodes are grouped into blocks of ``block_size`` destination rows. Each node
+    has its neighbor list padded to ``max_degree``. For every destination block
+    ``b``, all neighbor indices fall inside the source window
+    ``[window_start[b], window_start[b] + window_size)`` — guaranteed by the
+    host-side bandwidth-reducing reordering (``gwen_tpu.graph.reorder``).
+    ``nbr`` stores indices *relative to the block's window start*.
+    """
+
+    nbr: Array  # (N_pad, max_degree) int32, window-relative source indices
+    nbr_weight: Array  # (N_pad, max_degree) float32, 0 on padding
+    window_start: Array  # (num_blocks,) int32 into the padded node axis
+    num_nodes: int = struct.field(pytree_node=False)
+    num_edges: int = struct.field(pytree_node=False)
+    block_size: int = struct.field(pytree_node=False)
+    window_size: int = struct.field(pytree_node=False)
+
+    @property
+    def num_padded_nodes(self) -> int:
+        return int(self.nbr.shape[0])
+
+    @property
+    def max_degree(self) -> int:
+        return int(self.nbr.shape[1])
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.window_start.shape[0])
+
+
+# ------------------------------------------------------------------ builders
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def gcn_normalize(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    self_loops: bool = True,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Symmetric GCN normalization, computed host-side.
+
+    Matches the math inside PyG's ``GCNConv`` (used at models_gnn.py:118-184):
+    with self loops, ``w_e = 1/sqrt(d̂(s) d̂(r))`` where ``d̂(i) = deg(i) + 1``
+    and the appended self-loop edge ``(i, i)`` gets ``1/d̂(i)``. Degree is the
+    in-degree of the (directed) edge list; for the symmetric graphs used
+    throughout this is the usual GCN norm.
+
+    Returns the possibly-extended ``(senders, receivers, weights)`` arrays.
+    """
+    senders = np.asarray(senders, dtype=np.int64)
+    receivers = np.asarray(receivers, dtype=np.int64)
+    deg = np.bincount(receivers, minlength=num_nodes).astype(np.float64)
+    if self_loops:
+        deg = deg + 1.0
+    inv_sqrt = np.zeros_like(deg)
+    nz = deg > 0
+    inv_sqrt[nz] = 1.0 / np.sqrt(deg[nz])
+    weights = inv_sqrt[senders] * inv_sqrt[receivers]
+    if self_loops:
+        loops = np.arange(num_nodes, dtype=np.int64)
+        senders = np.concatenate([senders, loops])
+        receivers = np.concatenate([receivers, loops])
+        weights = np.concatenate([weights, inv_sqrt[loops] ** 2])
+    return senders, receivers, weights.astype(np.float32)
+
+
+def build_graph(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    *,
+    self_loops: bool = True,
+    normalize: bool = True,
+    weights: Optional[np.ndarray] = None,
+    edge_pad_multiple: int = 512,
+) -> Graph:
+    """Build a padded COO :class:`Graph` from raw (host) edge arrays."""
+    senders = np.asarray(senders, dtype=np.int64)
+    receivers = np.asarray(receivers, dtype=np.int64)
+    if senders.shape != receivers.shape:
+        raise ValueError("senders/receivers must have matching shapes")
+    if senders.size and (senders.max() >= num_nodes or receivers.max() >= num_nodes):
+        raise ValueError("edge index out of range")
+    if normalize:
+        if weights is not None:
+            raise ValueError("pass either normalize=True or explicit weights")
+        senders, receivers, w = gcn_normalize(senders, receivers, num_nodes, self_loops)
+    else:
+        w = (
+            np.ones(senders.shape[0], np.float32)
+            if weights is None
+            else np.asarray(weights, np.float32)
+        )
+    e = senders.shape[0]
+    e_pad = max(_round_up(e, edge_pad_multiple), edge_pad_multiple)
+    s = np.zeros(e_pad, np.int32)
+    r = np.zeros(e_pad, np.int32)
+    ww = np.zeros(e_pad, np.float32)
+    s[:e] = senders
+    r[:e] = receivers
+    ww[:e] = w
+    return Graph(
+        senders=jnp.asarray(s),
+        receivers=jnp.asarray(r),
+        weights=jnp.asarray(ww),
+        num_nodes=int(num_nodes),
+        num_edges=int(e),
+    )
+
+
+def to_dense(graph: Graph) -> DenseGraph:
+    """Densify a (small) graph into a normalized adjacency matrix."""
+    n = graph.num_nodes
+    s = np.asarray(graph.senders)
+    r = np.asarray(graph.receivers)
+    w = np.asarray(graph.weights)
+    adj = np.zeros((n, n), np.float32)
+    np.add.at(adj, (r, s), w)
+    return DenseGraph(adj=jnp.asarray(adj), num_nodes=n, num_edges=graph.num_edges)
+
+
+def to_block_ell(
+    graph: Graph,
+    *,
+    block_size: int = 128,
+    window_size: Optional[int] = None,
+    lane_multiple: int = 8,
+) -> BlockEllGraph:
+    """Convert a COO graph to the blocked-ELL layout for the Pallas kernel.
+
+    Requires a locality-preserving node ordering (see
+    ``gwen_tpu.graph.reorder.rcm_order``): for each 128-row destination block,
+    every source index must fit in a window of ``window_size`` consecutive
+    nodes. Raises ``ValueError`` if the ordering is too scattered — reorder
+    first or increase ``window_size``.
+    """
+    n = graph.num_nodes
+    e = graph.num_edges
+    s = np.asarray(graph.senders)[:e]
+    r = np.asarray(graph.receivers)[:e]
+    w = np.asarray(graph.weights)[:e]
+
+    n_pad = _round_up(max(n, 1), block_size)
+    order = np.argsort(r, kind="stable")
+    s, r, w = s[order], r[order], w[order]
+    counts = np.bincount(r, minlength=n_pad)
+    max_degree = int(counts.max()) if e else 1
+    max_degree = max(_round_up(max_degree, lane_multiple), lane_multiple)
+
+    nbr = np.zeros((n_pad, max_degree), np.int32)
+    nbr_w = np.zeros((n_pad, max_degree), np.float32)
+    # slot of each edge within its receiver's list
+    starts = np.zeros(n_pad + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(e) - starts[r]
+    nbr[r, slot] = s
+    nbr_w[r, slot] = w
+
+    num_blocks = n_pad // block_size
+    lo = np.full(num_blocks, n_pad, np.int64)
+    hi = np.zeros(num_blocks, np.int64)
+    blk = r // block_size
+    np.minimum.at(lo, blk, s)
+    np.maximum.at(hi, blk, s + 1)
+    empty = lo > hi
+    lo[empty], hi[empty] = 0, 1
+    spans = hi - lo
+    max_span = int(spans.max()) if num_blocks else 1
+    if window_size is None:
+        window_size = max(_round_up(max_span, block_size), block_size)
+    window_size = min(int(window_size), n_pad)
+    if max_span > window_size:
+        raise ValueError(
+            f"graph bandwidth {max_span} exceeds window_size {window_size}; "
+            "apply rcm_order() first or increase window_size"
+        )
+    # Clamp the window inside the padded node axis.
+    win_start = np.minimum(lo, n_pad - window_size)
+    win_start = np.maximum(win_start, 0).astype(np.int32)
+    nbr_rel = nbr - win_start.repeat(block_size)[:, None]
+    # Padding slots keep weight 0; point them at offset 0 of the window.
+    nbr_rel = np.where(nbr_w != 0, nbr_rel, 0).astype(np.int32)
+
+    return BlockEllGraph(
+        nbr=jnp.asarray(nbr_rel),
+        nbr_weight=jnp.asarray(nbr_w),
+        window_start=jnp.asarray(win_start),
+        num_nodes=n,
+        num_edges=e,
+        block_size=block_size,
+        window_size=int(window_size),
+    )

@@ -1,0 +1,78 @@
+"""Bandwidth-reducing node orderings (host-side, numpy only).
+
+The Pallas SpMM kernel streams a contiguous *window* of source rows per
+128-row destination block (``gwen_tpu.graph.graph.BlockEllGraph``), so graph
+bandwidth — max |i - j| over edges (i, j) — directly sets the kernel's HBM
+traffic. Reverse Cuthill-McKee brings mesh graphs close to their minimal
+bandwidth; the same ordering also makes contiguous-chunk edge partitioning
+(``gwen_tpu.graph.partition``) cut few edges.
+
+The reference has no analog (PyG's CUDA scatter does random access); this is
+TPU-first design, not a port.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _csr(senders: np.ndarray, receivers: np.ndarray, num_nodes: int):
+    """Undirected CSR adjacency (degree-sorted neighbor lists not required)."""
+    s = np.concatenate([senders, receivers])
+    r = np.concatenate([receivers, senders])
+    order = np.argsort(s, kind="stable")
+    s, r = s[order], r[order]
+    counts = np.bincount(s, minlength=num_nodes)
+    indptr = np.zeros(num_nodes + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    return indptr, r
+
+
+def rcm_order(senders: np.ndarray, receivers: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Reverse Cuthill-McKee permutation. Returns ``perm`` such that new node
+    ``i`` is old node ``perm[i]``."""
+    indptr, indices = _csr(np.asarray(senders), np.asarray(receivers), num_nodes)
+    degree = np.diff(indptr)
+    visited = np.zeros(num_nodes, bool)
+    order = np.empty(num_nodes, np.int64)
+    pos = 0
+    # Process components from lowest-degree unvisited seed (standard CM).
+    seeds = np.argsort(degree, kind="stable")
+    for seed in seeds:
+        if visited[seed]:
+            continue
+        visited[seed] = True
+        order[pos] = seed
+        head, pos = pos, pos + 1
+        while head < pos:
+            u = order[head]
+            head += 1
+            nbrs = indices[indptr[u] : indptr[u + 1]]
+            nbrs = nbrs[~visited[nbrs]]
+            if nbrs.size:
+                nbrs = np.unique(nbrs)
+                nbrs = nbrs[np.argsort(degree[nbrs], kind="stable")]
+                visited[nbrs] = True
+                order[pos : pos + nbrs.size] = nbrs
+                pos += nbrs.size
+    return order[::-1].copy()
+
+
+def apply_order(
+    perm: np.ndarray, senders: np.ndarray, receivers: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Relabel an edge list under ``perm`` (new i = old perm[i]).
+
+    Returns (new_senders, new_receivers, inverse_perm); node data arrays are
+    reordered as ``data[perm]`` and results mapped back with ``inverse_perm``.
+    """
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    return inv[np.asarray(senders)], inv[np.asarray(receivers)], inv
+
+
+def bandwidth(senders: np.ndarray, receivers: np.ndarray) -> int:
+    """Graph bandwidth max|s - r| (0 for an empty edge list)."""
+    if np.asarray(senders).size == 0:
+        return 0
+    return int(np.abs(np.asarray(senders) - np.asarray(receivers)).max())

@@ -1,0 +1,118 @@
+"""GNN model family.
+
+* :class:`GCNStack` — parity with the reference's encoder-decoder GCN
+  (models_gnn.py:86-303): width schedule ``ch_in -> h -> h/2 -> h/4 -> h/2 ->
+  h -> ch_out`` with ReLU between all layers and none after the last
+  (upconv5, models_gnn.py:184,206). The reference defines deeper stacks
+  (conv4/5, upconv1/2) but comments them out of forward
+  (models_gnn.py:150-151, 202-203); ``down_layers``/``up_layers`` default to
+  the active 3+3.
+* :class:`EncodeProcessDecode` — the mesh-scale model (BASELINE.json north
+  star): node-wise encoder MLP, K message-passing processor steps with
+  residual + layer norm, node-wise decoder MLP.
+
+Both are pure ``init``/``apply`` definitions over a graph container from
+``gwen_tpu.graph``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from gwen_tpu.nn import core
+from gwen_tpu.nn.layers import gcn_apply, gcn_init
+
+Array = jnp.ndarray
+
+
+def _width_schedule(ch_in: int, hidden: int, ch_out: int, down: int, up: int) -> list[int]:
+    """Reference width schedule (models_gnn.py:106-206), generalized to depth."""
+    downs = [hidden // (2**i) for i in range(down)]  # h, h/2, h/4, ...
+    ups = [hidden // (2**i) for i in reversed(range(up - 1))]  # ..., h/2, h
+    return [ch_in] + downs + ups + [ch_out]
+
+
+@dataclass(frozen=True)
+class GCNStack:
+    channels_in: int
+    channels_out: int
+    hidden_feats: int = 1024  # reference config.json:9
+    down_layers: int = 3
+    up_layers: int = 3
+    compute_dtype: jnp.dtype = jnp.float32
+    backend: str = "auto"
+
+    @property
+    def widths(self) -> list[int]:
+        return _width_schedule(
+            self.channels_in, self.hidden_feats, self.channels_out,
+            self.down_layers, self.up_layers,
+        )
+
+    def init(self, key) -> core.Params:
+        widths = self.widths
+        keys = jax.random.split(key, len(widths) - 1)
+        return {
+            f"gcn_{i}": gcn_init(k, widths[i], widths[i + 1])
+            for i, k in enumerate(keys)
+        }
+
+    def apply(self, params: core.Params, graph, x: Array) -> Array:
+        h = x.astype(self.compute_dtype)
+        n = len(params)
+        for i in range(n):
+            h = gcn_apply(params[f"gcn_{i}"], graph, h, backend=self.backend)
+            if i < n - 1:  # no activation after the final layer (models_gnn.py:206)
+                h = jax.nn.relu(h)
+        return h.astype(x.dtype)
+
+
+@dataclass(frozen=True)
+class EncodeProcessDecode:
+    """Encoder MLP → K GCN processor steps (residual + LayerNorm) → decoder MLP."""
+
+    channels_in: int
+    channels_out: int
+    latent_size: int = 256
+    process_steps: int = 4
+    mlp_layers: int = 2
+    residual: bool = True
+    compute_dtype: jnp.dtype = jnp.float32
+    backend: str = "auto"
+    remat: bool = False
+
+    def init(self, key) -> core.Params:
+        k_enc, k_proc, k_dec = jax.random.split(key, 3)
+        L = self.latent_size
+        enc_dims = [self.channels_in] + [L] * self.mlp_layers
+        dec_dims = [L] * self.mlp_layers + [self.channels_out]
+        proc_keys = jax.random.split(k_proc, self.process_steps)
+        params: core.Params = {
+            "encoder": core.mlp_init(k_enc, enc_dims),
+            "decoder": core.mlp_init(k_dec, dec_dims),
+        }
+        for i, k in enumerate(proc_keys):
+            params[f"process_{i}"] = {
+                "gcn": gcn_init(k, L, L),
+                "norm": core.layer_norm_init(L),
+            }
+        return params
+
+    def apply(self, params: core.Params, graph, x: Array) -> Array:
+        h = x.astype(self.compute_dtype)
+        h = core.mlp_apply(params["encoder"], h)
+
+        def step(h, p):
+            m = gcn_apply(p["gcn"], graph, jax.nn.relu(h), backend=self.backend)
+            m = core.layer_norm_apply(p["norm"], m)
+            return h + m if self.residual else m
+
+        if self.remat:
+            step = jax.checkpoint(step, static_argnums=())
+        for i in range(self.process_steps):
+            h = step(h, params[f"process_{i}"])
+        h = core.mlp_apply(params["decoder"], jax.nn.relu(h))
+        return h.astype(x.dtype)

@@ -1,0 +1,25 @@
+from gwen_tpu.train.checkpoint import Checkpointer
+from gwen_tpu.train.mesh import (
+    data_sharding,
+    initialize_distributed,
+    is_main_process,
+    make_mesh,
+    node_sharding,
+    replicated,
+)
+from gwen_tpu.train.tasks import cnn_loss_fn, gnn_loss_fn
+from gwen_tpu.train.trainer import Trainer, TrainState
+
+__all__ = [
+    "Checkpointer",
+    "Trainer",
+    "TrainState",
+    "cnn_loss_fn",
+    "gnn_loss_fn",
+    "data_sharding",
+    "initialize_distributed",
+    "is_main_process",
+    "make_mesh",
+    "node_sharding",
+    "replicated",
+]

@@ -1,0 +1,73 @@
+"""Task definitions: bind model + graph + loss into trainer-ready loss_fns.
+
+Mirrors the reference's two training entry points (train_gnn.py / train_cnn.py)
+as pure functions instead of model-methods-with-side-effects.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from gwen_tpu import losses
+
+
+def gnn_loss_fn(
+    model,
+    graph,
+    loss: str = "l1-masked",
+    mask_threshold_mask=None,
+    var_reg_alpha: float = 0.1,
+) -> Callable:
+    """Member-graph GNN task.
+
+    Batch: ``{"x": (B, members, features), "mask": (members,)}``. The model is
+    vmapped over the batch (time) axis. Loss = L1 over target-masked member
+    nodes (models_gnn.py:261-265,370), optionally composed with a spatial
+    variance mask (train_gnn.py:88-96) or the ensemble-variance regularizer.
+    """
+
+    def loss_fn(params, batch):
+        x, target_mask = batch["x"], batch["mask"]
+        preds = jax.vmap(lambda xi: model.apply(params, graph, xi))(x)
+        if mask_threshold_mask is not None:
+            # Spatial variance mask over features (train_gnn.py:88-96 +
+            # MaskedLoss, loss_functions.py:126-180) combined with the
+            # target-node mask: count only active cells of target members.
+            fmask = jnp.reshape(mask_threshold_mask, (1, 1, -1))
+            nmask = jnp.reshape(target_mask, (1, -1, 1))
+            value = losses.masked_loss(preds, x, fmask * nmask)
+        elif loss == "l1-masked":
+            value = losses.masked_node_l1(preds, x, target_mask)
+        elif loss == "ensemble-var-reg":
+            value = losses.ensemble_variance_regularized_l1(
+                preds, x, alpha=var_reg_alpha, ensemble_axis=1
+            )
+        elif loss == "crps":
+            value = losses.crps_gaussian_surrogate(preds, x, ensemble_axis=1)
+        else:
+            raise ValueError(f"unknown GNN loss {loss!r}")
+        return value, preds
+
+    return loss_fn
+
+
+def cnn_loss_fn(model, loss: str = "l1", spatial_mask=None) -> Callable:
+    """UNet CNN task: batch = (x, y) with member channels (train_cnn.py:42-86)."""
+
+    def loss_fn(params, batch):
+        x, y = batch
+        preds = model.apply(params, x)
+        if spatial_mask is not None:
+            value = losses.masked_loss(preds, y, spatial_mask, base=loss)
+        elif loss == "l1":
+            value = losses.l1_loss(preds, y)
+        elif loss == "mse":
+            value = jnp.mean((preds - y) ** 2)
+        else:
+            raise ValueError(f"unknown CNN loss {loss!r}")
+        return value, preds
+
+    return loss_fn

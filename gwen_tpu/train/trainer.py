@@ -1,0 +1,200 @@
+"""Training runtime: jitted steps, fit/evaluate loops, metrics, checkpoints.
+
+The reference embeds its training loop inside the model
+(``train_with_configs``, models_gnn.py:305-394) together with process-group
+setup, MLflow and logging — SURVEY §1 flags this as the quirk *not* to
+replicate. Here the runtime is separated:
+
+* :class:`TrainState` — params/opt_state/step pytree.
+* :class:`Trainer` — owns the jitted ``train_step``/``eval_step`` (donated
+  state, sharded batches over the mesh ``data`` axis; gradient sync is just
+  XLA's ``psum`` from the sharded batch — what DDP did with NCCL all-reduce,
+  models_cnn.py:510), the epoch loop with best-model tracking (reference
+  tracks best epoch loss, models_cnn.py:545-559), registry metrics, and Orbax
+  checkpointing.
+
+Evaluation gathers predictions across devices — the jitted step's output is a
+global array, replacing the reference's explicit ``dist.all_gather`` +
+rank-reorder dance (models_gnn.py:470-471).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from gwen_tpu.data.pipeline import prefetch, shard_batches
+from gwen_tpu.logging_utils import get_logger
+from gwen_tpu.registry import Run
+from gwen_tpu.train.checkpoint import Checkpointer
+from gwen_tpu.train.mesh import data_sharding, is_main_process, replicated
+
+log = get_logger()
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, params, optimizer: optax.GradientTransformation) -> "TrainState":
+        return cls(
+            params=params,
+            opt_state=optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+LossFn = Callable[[Any, Any], tuple[jnp.ndarray, jnp.ndarray]]
+# loss_fn(params, batch) -> (loss, predictions)
+
+
+class Trainer:
+    """Generic trainer over a ``loss_fn(params, batch) -> (loss, preds)``.
+
+    ``batch`` is any pytree whose leading axis (on array leaves that have one)
+    is the batch axis; with a mesh, batches are sharded over the ``data`` axis
+    and params replicated.
+    """
+
+    def __init__(
+        self,
+        loss_fn: LossFn,
+        optimizer: optax.GradientTransformation,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        run: Optional[Run] = None,
+        checkpointer: Optional[Checkpointer] = None,
+        log_every: int = 10,
+    ):
+        self.loss_fn = loss_fn
+        self.optimizer = optimizer
+        self.mesh = mesh
+        self.run = run
+        self.checkpointer = checkpointer
+        self.log_every = log_every
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------ jit steps
+    def _build_train_step(self):
+        optimizer = self.optimizer
+        loss_fn = self.loss_fn
+
+        def step(state: TrainState, batch):
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch
+            )
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+                loss,
+            )
+
+        if self.mesh is not None:
+            return jax.jit(
+                step,
+                donate_argnums=(0,),
+                in_shardings=(replicated(self.mesh), None),
+                out_shardings=(replicated(self.mesh), None),
+            )
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        loss_fn = self.loss_fn
+
+        def step(params, batch):
+            return loss_fn(params, batch)
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------ data flow
+    def _shard_batch(self, batch):
+        if self.mesh is None:
+            return jax.tree_util.tree_map(jnp.asarray, batch)
+
+        def put(leaf):
+            arr = np.asarray(leaf)
+            n_data = self.mesh.shape[self.mesh.axis_names[0]]
+            if arr.ndim >= 1 and arr.shape[0] % n_data == 0 and arr.shape[0] > 1:
+                return jax.device_put(arr, data_sharding(self.mesh, arr.ndim))
+            return jax.device_put(arr, replicated(self.mesh))
+
+        return jax.tree_util.tree_map(put, batch)
+
+    # ------------------------------------------------------------- fit/eval
+    def fit(
+        self,
+        state: TrainState,
+        batches_per_epoch: Callable[[int], Iterable],
+        epochs: int,
+        checkpoint_every: int = 0,
+        prefetch_size: int = 2,
+    ) -> tuple[TrainState, float]:
+        """Run ``epochs`` passes; returns (final_state, best_epoch_loss)."""
+        best_loss = float("inf")
+        step = int(state.step)
+        for epoch in range(epochs):
+            t0 = time.perf_counter()
+            losses = []
+            it = prefetch(
+                (self._shard_batch(b) for b in batches_per_epoch(epoch)),
+                prefetch_size,
+            )
+            for batch in it:
+                state, loss = self._train_step(state, batch)
+                step += 1
+                losses.append(loss)
+                if checkpoint_every and self.checkpointer and step % checkpoint_every == 0:
+                    self.checkpointer.save(step, state)
+                if self.log_every and step % self.log_every == 0:
+                    lval = float(losses[-1])
+                    if self.run is not None and is_main_process():
+                        self.run.log_metric("train_loss", lval, step)
+            epoch_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+            dt = time.perf_counter() - t0
+            if is_main_process():
+                log.info(
+                    "epoch %d: loss=%.6f (%.2fs, %d steps)",
+                    epoch, epoch_loss, dt, len(losses),
+                )
+                if self.run is not None:
+                    self.run.log_metric("loss", epoch_loss, epoch)
+            if epoch_loss < best_loss:
+                best_loss = epoch_loss
+                if self.checkpointer:
+                    self.checkpointer.save(step, state)
+        if self.checkpointer:
+            self.checkpointer._mngr.wait_until_finished()
+        return state, best_loss
+
+    def evaluate(
+        self, params, batches: Iterable, collect_preds: bool = True
+    ) -> tuple[float, Optional[np.ndarray]]:
+        """Mean loss and (optionally) concatenated predictions.
+
+        Reference: eval loop + ``dist.all_gather`` of predictions
+        (models_gnn.py:396-493); here the jitted step returns globally-sharded
+        outputs that ``device_get`` materializes on the host.
+        """
+        losses, preds = [], []
+        for batch in (self._shard_batch(b) for b in batches):
+            loss, pred = self._eval_step(params, batch)
+            losses.append(float(loss))
+            if collect_preds:
+                preds.append(np.asarray(jax.device_get(pred)))
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        out = np.concatenate(preds, axis=0) if (collect_preds and preds) else None
+        return mean_loss, out

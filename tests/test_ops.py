@@ -1,0 +1,58 @@
+"""Aggregation backend equivalence tests (golden path = segment_sum)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gwen_tpu.graph import (
+    apply_order,
+    build_graph,
+    complete_edges,
+    grid2d_edges,
+    icosphere_edges,
+    rcm_order,
+    to_block_ell,
+    to_dense,
+)
+from gwen_tpu.ops import (
+    aggregate_block_ell_reference,
+    aggregate_dense,
+    aggregate_segment,
+)
+
+
+def _random_x(n, f, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(size=(n, f)).astype(np.float32)
+    )
+
+
+def test_dense_matches_segment_complete():
+    n = 17
+    s, r = complete_edges(n)
+    g = build_graph(s, r, n)
+    x = _random_x(n, 9)
+    a = aggregate_segment(g, x)
+    b = aggregate_dense(to_dense(g), x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_dense_matches_segment_grid():
+    s, r = grid2d_edges(5, 7)
+    g = build_graph(s, r, 35)
+    x = _random_x(35, 13)
+    a = aggregate_segment(g, x)
+    b = aggregate_dense(to_dense(g), x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_block_ell_reference_matches_segment():
+    verts, s, r = icosphere_edges(2)
+    n = verts.shape[0]
+    perm = rcm_order(s, r, n)
+    s, r, _ = apply_order(perm, s, r)
+    g = build_graph(s, r, n)
+    be = to_block_ell(g, block_size=32)
+    x = _random_x(n, 24)
+    a = aggregate_segment(g, x)
+    b = aggregate_block_ell_reference(be, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
