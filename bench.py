@@ -1,0 +1,108 @@
+"""Benchmark: Pallas SpMM aggregation throughput on the weather mesh.
+
+Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+
+Metric: edges/sec/chip of the fused gather-MMA-scatter aggregation on an
+RCM-ordered icosahedral mesh (BASELINE.json headline: "edges/sec/chip
+(SpMM)"). The reference publishes no numbers (BASELINE.md), so
+``vs_baseline`` is measured against the stock XLA path on the same chip —
+``jax.ops.segment_sum`` gather/scatter, which is what a naive JAX port of the
+reference's torch-scatter aggregation would use.
+
+Env knobs: GWEN_BENCH_LEVELS (icosphere refinement, default 7 ≈ 164k nodes /
+983k directed edges), GWEN_BENCH_FEATURES (default 256), GWEN_BENCH_ITERS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _build(levels: int):
+    """Build (and cache) the RCM-ordered mesh graph tables."""
+    from gwen_tpu.graph import (
+        apply_order,
+        build_graph,
+        icosphere_edges,
+        rcm_order,
+        to_block_ell,
+    )
+
+    cache = f"/tmp/gwen_bench_mesh_L{levels}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        s, r, n = z["s"], z["r"], int(z["n"])
+    else:
+        verts, s, r = icosphere_edges(levels)
+        n = verts.shape[0]
+        perm = rcm_order(s, r, n)
+        s, r, _ = apply_order(perm, s, r)
+        np.savez(cache, s=s, r=r, n=n)
+    g = build_graph(s, r, n)
+    return g, to_block_ell(g), n
+
+
+def _time(fn, x, iters: int) -> float:
+    import jax
+
+    out = fn(x)
+    jax.block_until_ready(out)  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(x)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    levels = int(os.environ.get("GWEN_BENCH_LEVELS", "7"))
+    feats = int(os.environ.get("GWEN_BENCH_FEATURES", "256"))
+    iters = int(os.environ.get("GWEN_BENCH_ITERS", "50"))
+
+    g_coo, g_bell, n = _build(levels)
+    edges = g_coo.num_edges  # includes self loops
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(n, feats)).astype(np.float32)
+    )
+
+    from gwen_tpu.ops import aggregate_segment
+    from gwen_tpu.ops.spmm_pallas import spmm_block_ell
+
+    pallas_fn = jax.jit(lambda xx: spmm_block_ell(g_bell, xx))
+    seg_fn = jax.jit(lambda xx: aggregate_segment(g_coo, xx))
+
+    t_pallas = _time(pallas_fn, x, iters)
+    t_seg = _time(seg_fn, x, iters)
+
+    eps_pallas = edges / t_pallas
+    eps_seg = edges / t_seg
+
+    print(
+        json.dumps(
+            {
+                "metric": "spmm_edges_per_sec_per_chip",
+                "value": round(eps_pallas, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(eps_pallas / eps_seg, 3),
+            }
+        )
+    )
+    print(
+        f"# mesh L{levels}: {n} nodes, {edges} edges (incl self-loops), "
+        f"F={feats}; pallas {t_pallas*1e3:.3f} ms/iter "
+        f"({eps_pallas/1e9:.2f} Gedge/s), xla-segment {t_seg*1e3:.3f} ms/iter "
+        f"({eps_seg/1e9:.2f} Gedge/s), backend={jax.default_backend()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Command-line interface.
+
+The reference has no real training CLI (the argparse interface documented in
+train_gnn.py:26-38 doesn't exist; only create_gif.py has a click CLI).
+Here every pipeline stage is a subcommand with ``section.key=value`` config
+overrides::
+
+    gwen-tpu ingest      [--config cfg.json] [overrides...]
+    gwen-tpu preprocess  [--config cfg.json] [overrides...]
+    gwen-tpu train-gnn   [--config cfg.json] [--no-animate] [overrides...]
+    gwen-tpu train-cnn   [--config cfg.json] [--no-animate] [overrides...]
+    gwen-tpu gif         --input data.zarr [--var theta_v] [--out output]
+    gwen-tpu bench       [overrides...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from gwen_tpu.config import GwenConfig, load_config
+from gwen_tpu.logging_utils import setup_logger, suppress_warnings
+
+
+def _cfg(args) -> GwenConfig:
+    cfg = load_config(args.config)
+    cfg.apply_overrides(args.overrides)
+    return cfg
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", default=None, help="config JSON (nested or reference-flat)")
+    p.add_argument("overrides", nargs="*", help="section.key=value overrides")
+
+
+def main(argv: list[str] | None = None) -> int:
+    suppress_warnings()
+    setup_logger()
+    parser = argparse.ArgumentParser(prog="gwen-tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    for name in ("ingest", "preprocess", "train-gnn", "train-cnn", "bench"):
+        p = sub.add_parser(name)
+        _add_common(p)
+        if name.startswith("train"):
+            p.add_argument("--no-animate", action="store_true")
+            p.add_argument("--out-dir", default="output")
+
+    g = sub.add_parser("gif")
+    g.add_argument("--input", required=True, help="zarr store with (time, member, height, ncells)")
+    g.add_argument("--var", default="theta_v")
+    g.add_argument("--out", default="output")
+    g.add_argument("--member", default=None, help="member index or id (default: all)")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "ingest":
+        from gwen_tpu.data.ingest import ingest
+
+        arch = ingest(_cfg(args).data)
+        print(json.dumps({"zarr": str(arch.path), "shape": list(arch.shape)}))
+    elif args.cmd == "preprocess":
+        from gwen_tpu.data.preprocess import preprocess
+
+        train, test = preprocess(_cfg(args).data)
+        print(json.dumps({"train": str(train), "test": str(test)}))
+    elif args.cmd == "train-gnn":
+        from gwen_tpu.cli.train_gnn import main as run
+
+        out = run(_cfg(args), animate=not args.no_animate, out_dir=args.out_dir)
+        print(json.dumps(out))
+    elif args.cmd == "train-cnn":
+        from gwen_tpu.cli.train_cnn import main as run
+
+        out = run(_cfg(args), animate=not args.no_animate, out_dir=args.out_dir)
+        print(json.dumps(out))
+    elif args.cmd == "bench":
+        import runpy
+        from pathlib import Path
+
+        bench = Path(__file__).resolve().parents[2] / "bench.py"
+        runpy.run_path(str(bench), run_name="__main__")
+    elif args.cmd == "gif":
+        import numpy as np
+
+        from gwen_tpu import viz
+        from gwen_tpu.data import zarrstore
+
+        arr = zarrstore.open_array(args.input)
+        data = arr.read()
+        members = arr.meta.get("members") or [str(i) for i in range(data.shape[1])]
+        idxs = range(data.shape[1])
+        if args.member is not None:
+            idxs = [int(args.member)] if args.member.isdigit() else [
+                members.index(args.member)
+            ]
+        paths = []
+        for m in idxs:
+            paths.append(str(viz.create_animation(
+                np.asarray(data[:, m]), members[m], args.out, var_name=args.var
+            )))
+        print(json.dumps({"gifs": paths}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

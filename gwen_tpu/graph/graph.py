@@ -75,15 +75,22 @@ class BlockEllGraph:
 
     nbr: Array  # (N_pad, max_degree) int32, window-relative source indices
     nbr_weight: Array  # (N_pad, max_degree) float32, 0 on padding
-    window_start: Array  # (num_blocks,) int32 into the padded node axis
+    window_start: Array  # (num_blocks,) int32 into the padded source-row axis
     num_nodes: int = struct.field(pytree_node=False)
     num_edges: int = struct.field(pytree_node=False)
     block_size: int = struct.field(pytree_node=False)
     window_size: int = struct.field(pytree_node=False)
+    # Rows of the source feature array; == destination rows for a plain graph,
+    # larger for halo-extended local partitions (gwen_tpu.parallel).
+    num_src_rows: int = struct.field(pytree_node=False, default=-1)
 
     @property
     def num_padded_nodes(self) -> int:
         return int(self.nbr.shape[0])
+
+    @property
+    def src_rows(self) -> int:
+        return self.num_src_rows if self.num_src_rows > 0 else self.num_padded_nodes
 
     @property
     def max_degree(self) -> int:
@@ -189,6 +196,82 @@ def to_dense(graph: Graph) -> DenseGraph:
     return DenseGraph(adj=jnp.asarray(adj), num_nodes=n, num_edges=graph.num_edges)
 
 
+def ell_tables(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    weights: np.ndarray,
+    num_dst: int,
+    num_src: int,
+    *,
+    block_size: int = 128,
+    window_size: Optional[int] = None,
+    lane_multiple: int = 8,
+    max_degree: Optional[int] = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
+    """Build blocked-ELL tables from COO (host-side).
+
+    Destination and source index spaces may differ (halo-extended partitions).
+    Returns ``(nbr_rel, nbr_weight, window_start, window_size, src_rows)``
+    where ``nbr_rel`` indices are relative to each destination block's
+    128-aligned source window and ``src_rows`` is the padded source-row count
+    every window stays within.
+    """
+    s = np.asarray(senders, np.int64)
+    r = np.asarray(receivers, np.int64)
+    w = np.asarray(weights, np.float32)
+    e = s.shape[0]
+
+    n_pad = _round_up(max(num_dst, 1), block_size)
+    src_pad = _round_up(max(num_src, 1), block_size)
+    order = np.argsort(r, kind="stable")
+    s, r, w = s[order], r[order], w[order]
+    counts = np.bincount(r, minlength=n_pad)
+    deg = int(counts.max()) if e else 1
+    deg = max(_round_up(deg, lane_multiple), lane_multiple)
+    if max_degree is not None:
+        if deg > max_degree:
+            raise ValueError(f"max degree {deg} exceeds requested {max_degree}")
+        deg = max_degree
+
+    nbr = np.zeros((n_pad, deg), np.int32)
+    nbr_w = np.zeros((n_pad, deg), np.float32)
+    starts = np.zeros(n_pad + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(e) - starts[r]
+    nbr[r, slot] = s
+    nbr_w[r, slot] = w
+
+    num_blocks = n_pad // block_size
+    lo = np.full(num_blocks, src_pad, np.int64)
+    hi = np.zeros(num_blocks, np.int64)
+    blk = r // block_size
+    np.minimum.at(lo, blk, s)
+    np.maximum.at(hi, blk, s + 1)
+    empty = lo > hi
+    lo[empty], hi[empty] = 0, 1
+    # Align window starts down to the block size (clean DMA alignment for the
+    # Pallas kernel); spans are measured from the aligned start.
+    lo = (lo // block_size) * block_size
+    spans = hi - lo
+    max_span = int(spans.max()) if num_blocks else 1
+    if window_size is None:
+        window_size = max(_round_up(max_span, block_size), block_size)
+    window_size = min(int(window_size), src_pad)
+    if max_span > window_size:
+        raise ValueError(
+            f"graph bandwidth {max_span} exceeds window_size {window_size}; "
+            "apply rcm_order() first or increase window_size"
+        )
+    # Clamp the window inside the padded source axis (stays block-aligned
+    # because src_pad and window_size are both block multiples).
+    win_start = np.minimum(lo, src_pad - window_size)
+    win_start = np.maximum(win_start, 0).astype(np.int32)
+    nbr_rel = nbr - win_start.repeat(block_size)[:, None]
+    # Padding slots keep weight 0; point them at offset 0 of the window.
+    nbr_rel = np.where(nbr_w != 0, nbr_rel, 0).astype(np.int32)
+    return nbr_rel, nbr_w, win_start, int(window_size), src_pad
+
+
 def to_block_ell(
     graph: Graph,
     *,
@@ -206,57 +289,23 @@ def to_block_ell(
     """
     n = graph.num_nodes
     e = graph.num_edges
-    s = np.asarray(graph.senders)[:e]
-    r = np.asarray(graph.receivers)[:e]
-    w = np.asarray(graph.weights)[:e]
-
-    n_pad = _round_up(max(n, 1), block_size)
-    order = np.argsort(r, kind="stable")
-    s, r, w = s[order], r[order], w[order]
-    counts = np.bincount(r, minlength=n_pad)
-    max_degree = int(counts.max()) if e else 1
-    max_degree = max(_round_up(max_degree, lane_multiple), lane_multiple)
-
-    nbr = np.zeros((n_pad, max_degree), np.int32)
-    nbr_w = np.zeros((n_pad, max_degree), np.float32)
-    # slot of each edge within its receiver's list
-    starts = np.zeros(n_pad + 1, np.int64)
-    np.cumsum(counts, out=starts[1:])
-    slot = np.arange(e) - starts[r]
-    nbr[r, slot] = s
-    nbr_w[r, slot] = w
-
-    num_blocks = n_pad // block_size
-    lo = np.full(num_blocks, n_pad, np.int64)
-    hi = np.zeros(num_blocks, np.int64)
-    blk = r // block_size
-    np.minimum.at(lo, blk, s)
-    np.maximum.at(hi, blk, s + 1)
-    empty = lo > hi
-    lo[empty], hi[empty] = 0, 1
-    spans = hi - lo
-    max_span = int(spans.max()) if num_blocks else 1
-    if window_size is None:
-        window_size = max(_round_up(max_span, block_size), block_size)
-    window_size = min(int(window_size), n_pad)
-    if max_span > window_size:
-        raise ValueError(
-            f"graph bandwidth {max_span} exceeds window_size {window_size}; "
-            "apply rcm_order() first or increase window_size"
-        )
-    # Clamp the window inside the padded node axis.
-    win_start = np.minimum(lo, n_pad - window_size)
-    win_start = np.maximum(win_start, 0).astype(np.int32)
-    nbr_rel = nbr - win_start.repeat(block_size)[:, None]
-    # Padding slots keep weight 0; point them at offset 0 of the window.
-    nbr_rel = np.where(nbr_w != 0, nbr_rel, 0).astype(np.int32)
-
+    nbr, nbr_w, win_start, window, src_pad = ell_tables(
+        np.asarray(graph.senders)[:e],
+        np.asarray(graph.receivers)[:e],
+        np.asarray(graph.weights)[:e],
+        num_dst=n,
+        num_src=n,
+        block_size=block_size,
+        window_size=window_size,
+        lane_multiple=lane_multiple,
+    )
     return BlockEllGraph(
-        nbr=jnp.asarray(nbr_rel),
+        nbr=jnp.asarray(nbr),
         nbr_weight=jnp.asarray(nbr_w),
         window_start=jnp.asarray(win_start),
         num_nodes=n,
         num_edges=e,
         block_size=block_size,
-        window_size=int(window_size),
+        window_size=window,
+        num_src_rows=src_pad,
     )

@@ -110,14 +110,16 @@ class UNet:
             }
             c = w
         for i in range(self.depth):  # decoder (reverse widths)
+            # After upsampling, h sits at the scale of encoder skip
+            # depth-1-i; concat it (crop-and-concat, models_cnn.py:272-300).
+            skip_ch = widths[self.depth - 1 - i]
             w_out = widths[self.depth - 2 - i] if i < self.depth - 1 else self.hidden
-            skip = widths[self.depth - 2 - i] if i < self.depth - 1 else 0
             params[f"dec_{i}"] = {
-                "convt": conv_init(keys[self.depth + i], c + (skip if i > 0 else 0), w_out),
+                "convt": conv_init(keys[self.depth + i], c + skip_ch, w_out),
                 "norm": group_norm_init(w_out),
             }
             c = w_out
-        params["head"] = conv_init(keys[-1], self.hidden + 0, self.channels_out, k=1)
+        params["head"] = conv_init(keys[-1], self.hidden, self.channels_out, k=1)
         return params
 
     def apply(self, params: core.Params, x: Array) -> Array:
@@ -142,9 +144,8 @@ class UNet:
             p = params[f"dec_{i}"]
             n, c, hh, ww = h.shape
             h = jax.image.resize(h, (n, c, hh * 2, ww * 2), method="bilinear")
-            if i > 0:
-                skip = skips[self.depth - 1 - i]
-                h = jnp.concatenate([h, skip.astype(h.dtype)], axis=1)
+            skip = skips[self.depth - 1 - i]  # same spatial scale as h now
+            h = jnp.concatenate([h, skip.astype(h.dtype)], axis=1)
             h = conv_apply(p["convt"], h)
             h = group_norm_apply(p["norm"], h)
             h = jax.nn.relu(h)

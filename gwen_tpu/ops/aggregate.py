@@ -3,18 +3,24 @@
 This replaces the torch-scatter / torch-sparse / pyg-lib CUDA kernels behind
 the reference's ``GCNConv`` (SURVEY §2.2). Semantics for every backend::
 
-    out[r] = sum over edges e with receivers[e] == r of weights[e] * x[senders[e]]
+    out[..., r, :] = sum over edges e with receivers[e] == r
+                     of weights[e] * x[..., senders[e], :]
+
+All backends accept ``(..., N, F)`` — aggregation is node-wise linear, so
+leading batch dims are free (folded into features or broadcast), which keeps
+Pallas kernels out of ``vmap``.
 
 Backends:
 
 * ``segment``  — pure XLA: gather + ``jax.ops.segment_sum``. Correctness
-  baseline; runs on CPU/TPU; used by tests as the golden path.
+  baseline; runs everywhere; the golden path for tests.
 * ``dense``    — ``adj @ x`` on the MXU for :class:`DenseGraph` (the
   reference's ~125-node fully-connected member graph densifies for free).
 * ``pallas``   — blocked-ELL gather-MMA-scatter Pallas kernel for mesh-scale
   graphs (``gwen_tpu.ops.spmm_pallas``).
 
-``aggregate`` dispatches on the graph container type.
+``aggregate`` dispatches on the graph container type (including
+:class:`gwen_tpu.parallel.halo.HaloGraph` for partitioned meshes).
 """
 
 from __future__ import annotations
@@ -29,38 +35,53 @@ Array = jnp.ndarray
 
 def aggregate_segment(graph: Graph, x: Array) -> Array:
     """Gather-scale-scatter via XLA ``segment_sum`` (static shapes, jit-safe)."""
-    if x.shape[0] != graph.num_nodes:
-        raise ValueError(f"x has {x.shape[0]} rows, graph has {graph.num_nodes} nodes")
-    msgs = x[graph.senders] * graph.weights[:, None].astype(x.dtype)
-    return jax.ops.segment_sum(
+    if x.shape[-2] != graph.num_nodes:
+        raise ValueError(
+            f"x has {x.shape[-2]} node rows, graph has {graph.num_nodes} nodes"
+        )
+    # Move the node axis to the front so segment_sum sees it as leading.
+    xm = jnp.moveaxis(x, -2, 0)  # (N, ..., F)
+    w = graph.weights.astype(x.dtype).reshape((-1,) + (1,) * (x.ndim - 1))
+    msgs = xm[graph.senders] * w
+    out = jax.ops.segment_sum(
         msgs, graph.receivers, num_segments=graph.num_nodes, indices_are_sorted=False
     )
+    return jnp.moveaxis(out, 0, -2)
 
 
 def aggregate_dense(graph: DenseGraph, x: Array) -> Array:
-    """Dense normalized-adjacency matmul (MXU path for small graphs)."""
-    return jnp.dot(graph.adj.astype(x.dtype), x, preferred_element_type=x.dtype)
+    """Dense normalized-adjacency matmul (MXU path for small graphs).
+
+    ``jnp.matmul`` broadcasts over leading batch dims: (N,N) @ (...,N,F).
+    """
+    return jnp.matmul(graph.adj.astype(x.dtype), x)
 
 
 def aggregate_block_ell_reference(graph: BlockEllGraph, x: Array) -> Array:
-    """jnp reference for the blocked-ELL layout (used to validate the Pallas
-    kernel); mathematically identical to :func:`aggregate_segment`."""
-    n_pad = graph.num_padded_nodes
-    xp = jnp.zeros((n_pad, x.shape[1]), x.dtype).at[: x.shape[0]].set(x)
-    # Absolute source index per (node, slot): window-relative + block window start.
+    """jnp reference for the blocked-ELL layout (validates the Pallas kernel);
+    mathematically identical to :func:`aggregate_segment`."""
+    leading = x.shape[:-2]
+    n, f = x.shape[-2], x.shape[-1]
+    xp = jnp.zeros(leading + (graph.src_rows, f), x.dtype)
+    xp = xp.at[..., :n, :].set(x)
+    # Absolute source index per (node, slot): window-relative + block window.
     win = jnp.repeat(graph.window_start, graph.block_size)  # (N_pad,)
     abs_idx = graph.nbr + win[:, None]
-    gathered = xp[abs_idx]  # (N_pad, D, F)
-    out = jnp.einsum(
-        "nd,ndf->nf", graph.nbr_weight.astype(x.dtype), gathered
-    )
-    return out[: x.shape[0]]
+    gathered = jnp.take(xp, abs_idx, axis=-2)  # (..., N_pad, D, F)
+    out = jnp.einsum("nd,...ndf->...nf", graph.nbr_weight.astype(x.dtype), gathered)
+    out_rows = n if graph.src_rows == graph.num_padded_nodes else graph.num_padded_nodes
+    return out[..., :out_rows, :]
 
 
 def aggregate(graph, x: Array, backend: str = "auto") -> Array:
     """Dispatch aggregation by graph container type / requested backend."""
+    # Late import: parallel depends on ops for local aggregation.
+    from gwen_tpu.parallel.halo import HaloGraph, aggregate_halo
+
     if isinstance(graph, DenseGraph):
         return aggregate_dense(graph, x)
+    if isinstance(graph, HaloGraph):
+        return aggregate_halo(graph, x, backend=backend)
     if isinstance(graph, BlockEllGraph):
         if backend in ("auto", "pallas"):
             from gwen_tpu.ops.spmm_pallas import spmm_block_ell

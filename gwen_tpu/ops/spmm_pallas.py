@@ -1,0 +1,188 @@
+"""Pallas TPU SpMM: fused gather-MMA-scatter neighborhood aggregation.
+
+This is the framework's core kernel, replacing torch-scatter/torch-sparse
+CUDA scatter ops behind the reference's ``GCNConv`` (SURVEY §2.2). Semantics
+match ``aggregate_segment``: ``out[r] = Σ_e w_e · x[s_e]``.
+
+Design (TPU-first, see BlockEllGraph in ``gwen_tpu.graph.graph``):
+
+* Nodes are RCM-ordered so each 128-row destination block's sources fall in a
+  bounded, 128-aligned *window* of source rows (graph bandwidth → window
+  size). The kernel async-DMAs the window from HBM into VMEM once per block —
+  large contiguous transfers instead of per-edge random access.
+* While the DMA is in flight, the VPU builds a scatter matrix
+  ``S[b, j] = Σ_d 1[nbr[b,d] == j] · w[b,d]`` from the padded per-node
+  neighbor lists (one compare+select per degree slot — mesh graphs have
+  near-uniform degree ≈ 7, padded to 8).
+* The aggregation is then a single MXU matmul ``out_block = S @ window``.
+  One-hot-matmul turns data-dependent gather/scatter into dense MXU work,
+  which is exactly what the TPU wants at mesh degrees.
+* Feature axis is tiled (``F_BLK``) so wide layers stay within VMEM.
+
+Backward: with symmetric normalized adjacency (undirected graph + GCN norm),
+``A^T = A``, so the VJP reuses the same kernel on the cotangent. Batched
+inputs ``(..., N, F)`` are folded into the feature axis — aggregation is
+node-wise linear, so batching is free and avoids vmapping the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gwen_tpu.graph.graph import BlockEllGraph
+
+Array = jnp.ndarray
+
+def _interpret() -> bool:
+    """Run the kernel in interpreter mode off-TPU (CPU tests, SURVEY §4)."""
+    return jax.default_backend() != "tpu"
+
+
+def _kernel(win_start_ref, nbr_ref, w_ref, x_hbm, out_ref, xw, sem):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    f_blk = xw.shape[1]
+    window = xw.shape[0]
+    block = nbr_ref.shape[0]
+    degree = nbr_ref.shape[1]
+
+    # Window starts are block-aligned by construction (graph.ell_tables);
+    # Mosaic needs the hint to prove the slice is tile-divisible.
+    start = pl.multiple_of(win_start_ref[i], block)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(start, window), pl.ds(j * f_blk, f_blk)],
+        xw,
+        sem,
+    )
+    dma.start()
+
+    # Build the scatter matrix while the window streams in.
+    col = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
+    s_mat = jnp.zeros((block, window), jnp.float32)
+    for d in range(degree):
+        idx = nbr_ref[:, d][:, None]
+        wgt = w_ref[:, d][:, None]
+        s_mat = s_mat + jnp.where(col == idx, wgt, 0.0)
+
+    dma.wait()
+    # Full f32 precision for f32 inputs (bf16 MXU passes otherwise lose ~1e-2
+    # relative); bf16 inputs take the fast path — the kernel is HBM-bound, so
+    # the extra MXU passes are hidden behind the window DMA.
+    precision = (
+        jax.lax.Precision.HIGHEST if xw.dtype == jnp.float32 else None
+    )
+    out_ref[:] = jnp.dot(
+        s_mat.astype(xw.dtype), xw[:],
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _spmm_impl(nbr, nbr_w, win_start, x_pad, block, window, f_blk):
+    n_pad, f_pad = x_pad.shape
+    num_blocks = nbr.shape[0] // block
+    grid = (num_blocks, f_pad // f_blk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, nbr.shape[1]), lambda i, j, ws: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, nbr.shape[1]), lambda i, j, ws: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; DMA'd
+        ],
+        out_specs=pl.BlockSpec((block, f_blk), lambda i, j, ws: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((window, f_blk), x_pad.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    edges_bytes = nbr.size * 8
+    flops = 2 * nbr.shape[0] * window * f_pad
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbr.shape[0], f_pad), x_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x_pad.size * x_pad.dtype.itemsize * (window // block)
+            + edges_bytes,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(win_start, nbr, nbr_w, x_pad)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def spmm_block_ell(graph: BlockEllGraph, x: Array, f_blk: int = 512) -> Array:
+    """Aggregate ``x`` (..., N, F) over the blocked-ELL graph with the Pallas
+    kernel. Differentiable (symmetric adjacency ⇒ backward reuses forward)."""
+    leading = x.shape[:-2]
+    n, f = x.shape[-2], x.shape[-1]
+    n_pad = graph.num_padded_nodes
+    src_rows = graph.src_rows
+    if n not in (graph.num_nodes, n_pad, src_rows):
+        raise ValueError(
+            f"x has {n} node rows; graph expects {graph.num_nodes} "
+            f"({n_pad} padded dst, {src_rows} src)"
+        )
+    # Output row count: mirror the input's padding policy for plain graphs;
+    # halo-extended sources always produce the padded destination rows.
+    out_rows = n if src_rows == n_pad else n_pad
+
+    # Fold leading batch dims into features: aggregation is node-wise linear.
+    if leading:
+        xm = jnp.moveaxis(x.reshape((-1,) + x.shape[-2:]), 0, -1)  # (N, F, B)
+        xm = xm.reshape(n, -1)
+    else:
+        xm = x
+
+    fold = xm.shape[1]
+    f_pad = _round_up(fold, 128)
+    f_blk_eff = min(f_blk, f_pad)
+    while f_pad % f_blk_eff:
+        f_blk_eff -= 128
+    xp = jnp.zeros((src_rows, f_pad), xm.dtype)
+    xp = xp.at[: xm.shape[0], :fold].set(xm)
+
+    out = _spmm_diff(graph.nbr, graph.nbr_weight, graph.window_start, xp,
+                     graph.block_size, graph.window_size, f_blk_eff)
+
+    out = out[:out_rows, :fold]
+    if leading:
+        out = out.reshape(out_rows, f, -1)
+        out = jnp.moveaxis(out, -1, 0).reshape(leading + (out_rows, f))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _spmm_diff(nbr, nbr_w, win_start, xp, block, window, f_blk):
+    return _spmm_impl(nbr, nbr_w, win_start, xp, block, window, f_blk)
+
+
+def _spmm_fwd(nbr, nbr_w, win_start, xp, block, window, f_blk):
+    out = _spmm_impl(nbr, nbr_w, win_start, xp, block, window, f_blk)
+    return out, (nbr, nbr_w, win_start)
+
+
+def _spmm_bwd(block, window, f_blk, res, g):
+    nbr, nbr_w, win_start = res
+    # Symmetric normalized adjacency: A^T = A, so the cotangent w.r.t. x is
+    # the same aggregation applied to g. Graph arrays get zero cotangents.
+    gx = _spmm_impl(nbr, nbr_w, win_start, g.astype(nbr_w.dtype), block, window, f_blk)
+    return (None, None, None, gx.astype(g.dtype))
+
+
+_spmm_diff.defvjp(_spmm_fwd, _spmm_bwd)

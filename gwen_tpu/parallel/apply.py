@@ -1,0 +1,75 @@
+"""shard_map wiring: run a GNN model over a partitioned mesh graph.
+
+``make_partitioned_apply`` wraps ``model.apply`` in ``jax.shard_map`` over the
+(data, graph) mesh: node features are sharded over the ``graph`` axis (each
+device holds its contiguous partition), batch over ``data``, params
+replicated. Inside the mapped function each device reconstructs its local
+:class:`~gwen_tpu.parallel.halo.HaloGraph` from the stacked partition tables
+and runs the unchanged model — halo ppermutes happen inside
+``gwen_tpu.ops.aggregate`` dispatch, overlapped/scheduled by XLA.
+
+This replaces the reference's DDP+NCCL single-axis data parallelism
+(models_cnn.py:510) and adds the graph axis it never had (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gwen_tpu.parallel.halo import HaloGraph
+from gwen_tpu.parallel.partition import PartitionedGraph
+
+
+def make_partitioned_apply(
+    model,
+    pg: PartitionedGraph,
+    mesh: Mesh,
+    data_axis: str = "data",
+    graph_axis: str = "graph",
+) -> Callable:
+    """Returns ``apply(params, x)`` for global ``x (..., P*n_local, F)``.
+
+    The result is jit-compatible; batch (leading) axis is sharded over
+    ``data_axis`` when present, node axis over ``graph_axis``.
+    """
+    nbr = jnp.asarray(pg.nbr)
+    nbr_w = jnp.asarray(pg.nbr_weight)
+    wstart = jnp.asarray(pg.window_start)
+    max_edges = int(pg.edges_per_part.max()) if pg.num_parts else 0
+
+    def local_apply(nbr_p, nbr_w_p, wstart_p, params, x):
+        hg = HaloGraph(
+            nbr=nbr_p[0],
+            nbr_weight=nbr_w_p[0],
+            window_start=wstart_p[0],
+            axis_name=graph_axis,
+            halo=pg.halo,
+            n_local=pg.n_local,
+            block_size=pg.block_size,
+            window_size=pg.window_size,
+            num_edges=max_edges,
+        )
+        return model.apply(params, hg, x)
+
+    def x_spec(ndim: int) -> P:
+        spec = [None] * ndim
+        spec[-2] = graph_axis
+        if ndim >= 3:
+            spec[0] = data_axis
+        return P(*spec)
+
+    def apply(params, x):
+        mapped = jax.shard_map(
+            local_apply,
+            mesh=mesh,
+            in_specs=(P(graph_axis), P(graph_axis), P(graph_axis), P(), x_spec(x.ndim)),
+            out_specs=x_spec(x.ndim),
+            check_vma=False,
+        )
+        return mapped(nbr, nbr_w, wstart, params, x)
+
+    return apply

@@ -1,0 +1,100 @@
+"""Halo-exchange aggregation over a partitioned mesh graph.
+
+This is the framework's scaling axis for large weather meshes (SURVEY §2.3:
+the reference has no analog — it folds the spatial field into node features
+and coarsens when it doesn't fit). Nodes are RCM-ordered and split into
+contiguous, equal-size partitions over the mesh ``graph`` axis. Because RCM
+bounds the graph bandwidth, every cross-partition edge reaches at most
+``halo`` rows into the two neighboring partitions, so one bidirectional
+``ppermute`` ring exchange per aggregation delivers all remote source rows.
+
+:class:`HaloGraph` is the *local* view used inside ``shard_map``: per-device
+ELL tables whose source indices are relative to the halo-extended local array
+``[left-halo | local | right-halo]``. ``aggregate_halo`` does the exchange +
+local blocked-ELL aggregation (Pallas on TPU, jnp reference elsewhere), and
+``gwen_tpu.ops.aggregate`` dispatches to it, so models are parallelism-agnostic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gwen_tpu.graph.graph import BlockEllGraph
+
+Array = jnp.ndarray
+
+
+@struct.dataclass
+class HaloGraph:
+    """Per-device partition of a mesh graph (constructed inside shard_map by
+    slicing the stacked tables from ``gwen_tpu.parallel.partition``)."""
+
+    nbr: Array  # (n_local_pad, D) int32, window-relative into ext space
+    nbr_weight: Array  # (n_local_pad, D) float32
+    window_start: Array  # (n_local_pad // block, ) int32 into ext space
+    axis_name: str = struct.field(pytree_node=False)
+    halo: int = struct.field(pytree_node=False)
+    n_local: int = struct.field(pytree_node=False)
+    block_size: int = struct.field(pytree_node=False)
+    window_size: int = struct.field(pytree_node=False)
+    num_edges: int = struct.field(pytree_node=False)
+
+    @property
+    def num_nodes(self) -> int:  # model-facing row count per device
+        return self.n_local
+
+    @property
+    def ext_rows(self) -> int:
+        return self.n_local + 2 * self.halo
+
+    def local_block_ell(self) -> BlockEllGraph:
+        return BlockEllGraph(
+            nbr=self.nbr,
+            nbr_weight=self.nbr_weight,
+            window_start=self.window_start,
+            num_nodes=self.n_local,
+            num_edges=self.num_edges,
+            block_size=self.block_size,
+            window_size=self.window_size,
+            num_src_rows=self.ext_rows,
+        )
+
+
+def halo_exchange(x: Array, halo: int, axis_name: str) -> Array:
+    """Bidirectional ring exchange of boundary rows; returns the extended
+    array ``[left-halo | x | right-halo]`` along the node axis (-2)."""
+    num = jax.lax.axis_size(axis_name)
+    if halo == 0 or num == 1:
+        left = jnp.zeros_like(x[..., :halo, :])
+        right = jnp.zeros_like(x[..., :halo, :])
+        return jnp.concatenate([left, x, right], axis=-2)
+    fwd = [(i, (i + 1) % num) for i in range(num)]
+    bwd = [(i, (i - 1) % num) for i in range(num)]
+    # Receive the left neighbor's last rows and the right neighbor's first rows.
+    from_left = jax.lax.ppermute(x[..., -halo:, :], axis_name, perm=fwd)
+    from_right = jax.lax.ppermute(x[..., :halo, :], axis_name, perm=bwd)
+    return jnp.concatenate([from_left, x, from_right], axis=-2)
+
+
+def aggregate_halo(graph: HaloGraph, x: Array, backend: str = "auto") -> Array:
+    """Exchange halos, aggregate locally, return local rows.
+
+    The ring wraps, so the first/last partitions receive wrapped rows — but no
+    edge references them (indices were built from the acyclic node ordering),
+    so they are inert.
+    """
+    if x.shape[-2] != graph.n_local:
+        raise ValueError(f"x has {x.shape[-2]} rows, partition has {graph.n_local}")
+    x_ext = halo_exchange(x, graph.halo, graph.axis_name)
+    bell = graph.local_block_ell()
+    if backend in ("auto", "pallas") and jax.default_backend() == "tpu":
+        from gwen_tpu.ops.spmm_pallas import spmm_block_ell
+
+        out = spmm_block_ell(bell, x_ext)
+    else:
+        from gwen_tpu.ops.aggregate import aggregate_block_ell_reference
+
+        out = aggregate_block_ell_reference(bell, x_ext)
+    return out[..., : graph.n_local, :]

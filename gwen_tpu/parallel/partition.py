@@ -1,0 +1,158 @@
+"""Host-side contiguous-chunk graph partitioning for halo-exchange parallelism.
+
+After RCM reordering (``gwen_tpu.graph.reorder``), a weather mesh's adjacency
+is banded: edges reach at most ``bandwidth`` positions away. Splitting the
+node axis into equal contiguous chunks then guarantees every cross-partition
+edge lands within ``halo = bandwidth`` rows of a chunk boundary — the ring
+halo exchange in ``gwen_tpu.parallel.halo`` is exact, with no general
+all-to-all needed. (Contiguous-chunks-after-RCM plays the role METIS plays in
+CPU/GPU graph frameworks, with the decisive TPU advantage that halos are
+*contiguous row ranges*: static shapes, one ppermute, no gather.)
+
+All per-partition tables share identical static shapes (max degree, window,
+rows), stacked along a leading partition axis so ``shard_map`` can slice them
+over the mesh ``graph`` axis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from gwen_tpu.graph.graph import ell_tables, gcn_normalize
+from gwen_tpu.graph.reorder import apply_order, bandwidth, rcm_order
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class PartitionedGraph:
+    """Stacked per-partition blocked-ELL tables + the node permutation."""
+
+    nbr: np.ndarray  # (P, n_local, D) int32, ext-space window-relative
+    nbr_weight: np.ndarray  # (P, n_local, D) float32
+    window_start: np.ndarray  # (P, n_local // block) int32 into ext space
+    perm: np.ndarray  # new i = old perm[i]
+    inv_perm: np.ndarray
+    num_parts: int
+    n_local: int
+    halo: int
+    block_size: int
+    window_size: int
+    num_nodes: int  # global, before padding
+    num_edges: int
+    edges_per_part: np.ndarray  # (P,) actual edge counts (incl. self loops)
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.num_parts * self.n_local
+
+    # ------------------------------------------------------------ features
+    def pad_nodes(self, x: np.ndarray, node_axis: int = -2) -> np.ndarray:
+        """Reorder node data by ``perm`` and zero-pad to ``padded_nodes``."""
+        x = np.asarray(x)
+        x = np.take(x, self.perm, axis=node_axis)
+        pad = self.padded_nodes - x.shape[node_axis]
+        if pad:
+            widths = [(0, 0)] * x.ndim
+            widths[node_axis % x.ndim] = (0, pad)
+            x = np.pad(x, widths)
+        return x
+
+    def unpad_nodes(self, x: np.ndarray, node_axis: int = -2) -> np.ndarray:
+        """Crop padding and restore the original node order."""
+        x = np.take(x, np.arange(self.num_nodes), axis=node_axis)
+        return np.take(x, self.inv_perm, axis=node_axis)
+
+
+def partition_graph(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    num_parts: int,
+    *,
+    block_size: int = 128,
+    self_loops: bool = True,
+    reorder: bool = True,
+    halo: int | None = None,
+) -> PartitionedGraph:
+    """Partition a (symmetric) graph into ``num_parts`` contiguous chunks."""
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    if reorder:
+        perm = rcm_order(senders, receivers, num_nodes)
+        senders, receivers, _ = apply_order(perm, senders, receivers)
+    else:
+        perm = np.arange(num_nodes, dtype=np.int64)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(num_nodes)
+
+    s, r, w = gcn_normalize(senders, receivers, num_nodes, self_loops=self_loops)
+
+    n_local = _round_up(-(-num_nodes // num_parts), block_size)
+    bw = bandwidth(s, r)
+    halo_eff = halo if halo is not None else _round_up(max(bw, 1), block_size)
+    if halo_eff < bw:
+        raise ValueError(f"halo {halo_eff} < graph bandwidth {bw}")
+    if halo_eff > n_local:
+        raise ValueError(
+            f"halo {halo_eff} exceeds partition size {n_local}: too many "
+            f"partitions for this graph's bandwidth — reduce num_parts"
+        )
+    n_ext = n_local + 2 * halo_eff
+
+    part = r // n_local
+    per_part = []
+    max_deg = 0
+    for p in range(num_parts):
+        m = part == p
+        sp, rp, wp = s[m], r[m], w[m]
+        r_rel = rp - p * n_local
+        s_rel = sp - (p * n_local - halo_eff)
+        if s_rel.size and (s_rel.min() < 0 or s_rel.max() >= n_ext):
+            raise AssertionError("edge escapes halo window (bandwidth bound broken)")
+        per_part.append((s_rel, r_rel, wp))
+        if rp.size:
+            max_deg = max(max_deg, int(np.bincount(r_rel, minlength=n_local).max()))
+    max_deg = max(_round_up(max_deg, 8), 8)
+
+    # Two passes: find the max window across partitions, then rebuild with the
+    # shared window so stacked shapes are identical.
+    window = block_size
+    tables = []
+    for s_rel, r_rel, wp in per_part:
+        nbr, nw, ws, win, _ = ell_tables(
+            s_rel, r_rel, wp, num_dst=n_local, num_src=n_ext,
+            block_size=block_size, max_degree=max_deg,
+        )
+        window = max(window, win)
+        tables.append((s_rel, r_rel, wp))
+    nbrs, nws, wss, counts = [], [], [], []
+    for s_rel, r_rel, wp in tables:
+        nbr, nw, ws, _, _ = ell_tables(
+            s_rel, r_rel, wp, num_dst=n_local, num_src=n_ext,
+            block_size=block_size, window_size=window, max_degree=max_deg,
+        )
+        nbrs.append(nbr)
+        nws.append(nw)
+        wss.append(ws)
+        counts.append(len(wp))
+
+    return PartitionedGraph(
+        nbr=np.stack(nbrs),
+        nbr_weight=np.stack(nws),
+        window_start=np.stack(wss),
+        perm=perm,
+        inv_perm=inv,
+        num_parts=num_parts,
+        n_local=n_local,
+        halo=halo_eff,
+        block_size=block_size,
+        window_size=window,
+        num_nodes=num_nodes,
+        num_edges=len(s),
+        edges_per_part=np.asarray(counts),
+    )

@@ -31,7 +31,10 @@ def gnn_loss_fn(
 
     def loss_fn(params, batch):
         x, target_mask = batch["x"], batch["mask"]
-        preds = jax.vmap(lambda xi: model.apply(params, graph, xi))(x)
+        # Aggregation backends are batch-native (leading dims fold into the
+        # feature axis), so the model applies to (B, N, F) directly — no vmap,
+        # which keeps Pallas kernels out of batching rules.
+        preds = model.apply(params, graph, x)
         if mask_threshold_mask is not None:
             # Spatial variance mask over features (train_gnn.py:88-96 +
             # MaskedLoss, loss_functions.py:126-180) combined with the

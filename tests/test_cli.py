@@ -1,0 +1,100 @@
+"""CLI end-to-end tests on CPU: ingest → preprocess → train-gnn → gif.
+
+Reference analog: the full train_gnn.py orchestration (SURVEY §3.1), driven
+through the argparse surface.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from gwen_tpu.cli.main import main as cli
+from gwen_tpu.data import netcdf
+
+T, H, C = 8, 4, 6
+
+
+@pytest.fixture
+def workdir(tmp_path):
+    for i in range(4):
+        mid = f"{-10 - i}.0_3000.0_2000.0"
+        folder = tmp_path / f"atmcirc-straka_93_{mid}"
+        folder.mkdir()
+        t = np.arange(T)[:, None, None]
+        h = np.arange(H)[None, :, None]
+        c = np.arange(C)[None, None, :]
+        field = (
+            280 + 5 * np.sin(0.3 * t + 0.2 * i) * np.cos(0.5 * h + 0.1 * c)
+        ).astype(np.float32)
+        netcdf.write_netcdf_like(
+            folder / f"atmcirc-straka_93_{mid}_DOM01_ML_20080801T000000Z.nc",
+            {"theta_v": (("time", "height", "ncells"), field)},
+        )
+    cfg = {
+        "batch_size": 2,
+        "coarsen": 1,
+        "data_path": str(tmp_path),
+        "data_test": str(tmp_path / "test.zarr"),
+        "data_train": str(tmp_path / "train.zarr"),
+        "epochs": 2,
+        "filename_regex": r"atmcirc-straka_93_(.+)_DOM01_ML_.*\.nc",
+        "hidden_feats": 16,
+        "lr": 1e-4,
+        "mask_threshold": 0.0,
+        "member_split": 3,
+        "retrain": True,
+        "seed": 42,
+        "simplify": False,
+        "zarr_path": str(tmp_path / "combined.zarr"),
+        "zlib_compression_level": 1,
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    return tmp_path, cfg_path
+
+
+def test_cli_full_pipeline(workdir, tmp_path, capsys):
+    wd, cfg = workdir
+
+    assert cli(["ingest", "--config", str(cfg)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["shape"] == [T, 4, H, C]
+
+    assert cli(["preprocess", "--config", str(cfg)]) == 0
+    capsys.readouterr()
+
+    assert (
+        cli([
+            "train-gnn", "--config", str(cfg),
+            "--out-dir", str(wd / "output"),
+            f"run.registry_root={wd / 'runs'}",
+            "data.boundary_cells=0",
+        ])
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["test_loss"])
+    assert out["animations"]
+
+    assert cli(["gif", "--input", str(wd / "test.zarr"), "--out", str(wd / "gifs"),
+                "--member", "0"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["gifs"]) == 1
+
+
+def test_cli_train_cnn(workdir, capsys):
+    wd, cfg = workdir
+    cli(["ingest", "--config", str(cfg)])
+    cli(["preprocess", "--config", str(cfg)])
+    capsys.readouterr()
+    assert (
+        cli([
+            "train-cnn", "--config", str(cfg), "--no-animate",
+            f"run.registry_root={wd / 'runs'}",
+            "data.boundary_cells=0", "unet.hidden=4", "unet.depth=2",
+        ])
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["test_loss"])

@@ -1,0 +1,134 @@
+"""Partitioned-graph parallelism tests on the 8-device virtual CPU mesh.
+
+Validates the halo-exchange design end-to-end: partitioned aggregation and a
+full model under shard_map must match the single-device global computation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gwen_tpu.graph import apply_order, build_graph, icosphere_edges, rcm_order
+from gwen_tpu.nn import EncodeProcessDecode
+from gwen_tpu.ops import aggregate_segment
+from gwen_tpu.parallel import make_partitioned_apply, partition_graph
+from gwen_tpu.train import make_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs multi-device CPU mesh"
+)
+
+
+def _global_reference_graph(s, r, n):
+    """Graph in the same RCM order the partitioner uses."""
+    perm = rcm_order(s, r, n)
+    s2, r2, _ = apply_order(perm, s, r)
+    return build_graph(s2, r2, n), perm
+
+
+def test_partition_tables_consistent():
+    verts, s, r = icosphere_edges(3)  # 642 nodes
+    n = verts.shape[0]
+    pg = partition_graph(s, r, n, num_parts=4, block_size=32)
+    assert pg.nbr.shape[0] == 4
+    assert pg.n_local * 4 >= n
+    assert pg.edges_per_part.sum() == pg.num_edges
+    assert pg.halo <= pg.n_local
+
+
+def test_partitioned_aggregation_matches_global():
+    verts, s, r = icosphere_edges(3)
+    n = verts.shape[0]
+    num_parts = 4
+    pg = partition_graph(s, r, n, num_parts=num_parts, block_size=32)
+    g_ref, perm = _global_reference_graph(s, r, n)
+
+    x = np.random.default_rng(0).normal(size=(n, 16)).astype(np.float32)
+    want = np.asarray(aggregate_segment(g_ref, jnp.asarray(np.take(x, perm, axis=0))))
+
+    mesh = make_mesh(data=len(jax.devices()) // num_parts, graph=num_parts)
+
+    from gwen_tpu.parallel import HaloGraph
+    from gwen_tpu.ops import aggregate
+    from jax.sharding import PartitionSpec as P
+
+    nbr = jnp.asarray(pg.nbr)
+    nbr_w = jnp.asarray(pg.nbr_weight)
+    ws = jnp.asarray(pg.window_start)
+    xp = jnp.asarray(pg.pad_nodes(x, node_axis=0))
+
+    def local(nbr_p, w_p, ws_p, x_p):
+        hg = HaloGraph(
+            nbr=nbr_p[0], nbr_weight=w_p[0], window_start=ws_p[0],
+            axis_name="graph", halo=pg.halo, n_local=pg.n_local,
+            block_size=pg.block_size, window_size=pg.window_size,
+            num_edges=int(pg.edges_per_part.max()),
+        )
+        return aggregate(hg, x_p)
+
+    out = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("graph"), P("graph"), P("graph"), P("graph", None)),
+            out_specs=P("graph", None),
+            check_vma=False,
+        )
+    )(nbr, nbr_w, ws, xp)
+    got = np.asarray(out)[:n]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_partitioned_model_matches_global():
+    verts, s, r = icosphere_edges(3)
+    n = verts.shape[0]
+    num_parts = 2
+    pg = partition_graph(s, r, n, num_parts=num_parts, block_size=32)
+    g_ref, perm = _global_reference_graph(s, r, n)
+
+    model = EncodeProcessDecode(
+        channels_in=8, channels_out=8, latent_size=16, process_steps=2,
+        backend="segment",
+    )
+    params = model.init(jax.random.key(0))
+
+    dp = len(jax.devices()) // num_parts
+    x = np.random.default_rng(1).normal(size=(dp, n, 8)).astype(np.float32)
+    want = np.asarray(model.apply(params, g_ref, jnp.asarray(np.take(x, perm, axis=1))))
+
+    mesh = make_mesh(data=len(jax.devices()) // num_parts, graph=num_parts)
+    apply = make_partitioned_apply(model, pg, mesh)
+    xp = jnp.asarray(pg.pad_nodes(x))
+    got = np.asarray(jax.jit(apply)(params, xp))[:, :n, :]
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_partitioned_gradients():
+    verts, s, r = icosphere_edges(3)
+    n = verts.shape[0]
+    pg = partition_graph(s, r, n, num_parts=2, block_size=32)
+    g_ref, perm = _global_reference_graph(s, r, n)
+    model = EncodeProcessDecode(
+        channels_in=4, channels_out=4, latent_size=8, process_steps=1,
+        backend="segment",
+    )
+    params = model.init(jax.random.key(0))
+    mesh = make_mesh(data=len(jax.devices()) // 2, graph=2)
+    apply = make_partitioned_apply(model, pg, mesh)
+
+    dp = len(jax.devices()) // 2
+    x = np.random.default_rng(2).normal(size=(dp, n, 4)).astype(np.float32)
+    xp = jnp.asarray(pg.pad_nodes(x))
+    xg = jnp.asarray(np.take(x, perm, axis=1))
+
+    def loss_part(p):
+        return jnp.sum(jnp.sin(apply(p, xp)[:, :n, :]))
+
+    def loss_global(p):
+        return jnp.sum(jnp.sin(model.apply(p, g_ref, xg)))
+
+    gp = jax.jit(jax.grad(loss_part))(params)
+    gg = jax.jit(jax.grad(loss_global))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)

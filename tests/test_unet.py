@@ -1,0 +1,49 @@
+"""UNet CNN baseline tests (reference models_cnn.py parity surface)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gwen_tpu.nn.unet import UNet
+from gwen_tpu.train import Trainer, TrainState, cnn_loss_fn
+
+
+def test_unet_forward_shape():
+    model = UNet(channels_in=4, channels_out=2, hidden=8, depth=3)
+    params = model.init(jax.random.key(0))
+    x = jnp.ones((2, 4, 13, 21))  # odd spatial sizes exercise pad/crop
+    out = model.apply(params, x)
+    assert out.shape == (2, 2, 13, 21)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_grads_and_train_step():
+    """Reference analog: TestUNet.test_train_with_configs 2-epoch CPU train
+    (tests/test_gwen/test_models.py:80-95)."""
+    model = UNet(channels_in=3, channels_out=1, hidden=4, depth=2)
+    params = model.init(jax.random.key(0))
+    opt = optax.adam(1e-3)
+    trainer = Trainer(loss_fn=cnn_loss_fn(model), optimizer=opt)
+    state = TrainState.create(params, opt)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(6, 3, 8, 8)).astype(np.float32)
+    y = (x.mean(axis=1, keepdims=True) * 0.5).astype(np.float32)
+
+    batches = lambda ep: iter([(x[:3], y[:3]), (x[3:], y[3:])])  # noqa: E731
+    state, l0 = trainer.fit(state, batches, epochs=1)
+    state, l1 = trainer.fit(state, batches, epochs=8)
+    assert l1 < l0
+
+
+def test_unet_spatial_mask_loss():
+    model = UNet(channels_in=2, channels_out=1, hidden=4, depth=2)
+    params = model.init(jax.random.key(0))
+    mask = jnp.zeros((8, 8)).at[2:6, 2:6].set(1.0)
+    loss_fn = cnn_loss_fn(model, spatial_mask=mask)
+    x = jnp.ones((1, 2, 8, 8))
+    y = jnp.zeros((1, 1, 8, 8))
+    loss, preds = loss_fn(params, (x, y))
+    assert np.isfinite(float(loss))
+    assert preds.shape == (1, 1, 8, 8)
