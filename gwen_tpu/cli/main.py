@@ -40,12 +40,15 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="gwen-tpu", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
 
-    for name in ("ingest", "preprocess", "train-gnn", "train-cnn", "bench"):
+    for name in ("ingest", "preprocess", "train-gnn", "train-cnn", "train-mesh", "bench"):
         p = sub.add_parser(name)
         _add_common(p)
-        if name.startswith("train"):
+        if name in ("train-gnn", "train-cnn"):
             p.add_argument("--no-animate", action="store_true")
             p.add_argument("--out-dir", default="output")
+        if name == "train-mesh":
+            p.add_argument("--members", type=int, default=4)
+            p.add_argument("--steps", type=int, default=16)
 
     g = sub.add_parser("gif")
     g.add_argument("--input", required=True, help="zarr store with (time, member, height, ncells)")
@@ -74,6 +77,11 @@ def main(argv: list[str] | None = None) -> int:
         from gwen_tpu.cli.train_cnn import main as run
 
         out = run(_cfg(args), animate=not args.no_animate, out_dir=args.out_dir)
+        print(json.dumps(out))
+    elif args.cmd == "train-mesh":
+        from gwen_tpu.cli.train_mesh import main as run
+
+        out = run(_cfg(args), members=args.members, steps=args.steps)
         print(json.dumps(out))
     elif args.cmd == "bench":
         import runpy

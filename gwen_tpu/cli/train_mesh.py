@@ -1,0 +1,141 @@
+"""Mesh-scale ensemble training orchestrator (the north-star workflow).
+
+No reference analog — this is the scaling extension BASELINE.json demands:
+encode-process-decode over a weather mesh graph (Pallas SpMM aggregation on
+TPU), next-step training over ensemble members, multi-device via the
+(data, graph) mesh with halo-partitioned graph parallelism, and skill
+verification of generated ensembles (fair CRPS / RMSE / spread) against a
+held-out member.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from gwen_tpu.config import GwenConfig
+from gwen_tpu.logging_utils import get_logger, setup_logger
+from gwen_tpu.registry import Registry, default_experiment
+
+log = get_logger()
+
+
+def main(config: GwenConfig, members: int = 4, steps: int = 16) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gwen_tpu import ensemble
+    from gwen_tpu.data.dataset import MeshEnsembleDataset
+    from gwen_tpu.data.synthetic import mesh_ensemble_dataset
+    from gwen_tpu.graph import (
+        apply_order,
+        build_graph,
+        rcm_order,
+        to_block_ell,
+    )
+    from gwen_tpu.nn import EncodeProcessDecode
+    from gwen_tpu.parallel import make_partitioned_apply, partition_graph
+    from gwen_tpu.profiling import StepTimer
+    from gwen_tpu.train import Trainer, TrainState, make_mesh, mesh_loss_fn
+    from gwen_tpu.train.checkpoint import Checkpointer
+
+    setup_logger()
+    tcfg = config.train
+    levels = config.graph.refine
+
+    fields, verts, s, r = mesh_ensemble_dataset(
+        levels=levels, members=members, steps=steps, seed=tcfg.seed
+    )
+    n = verts.shape[0]
+    perm = rcm_order(s, r, n)
+    s2, r2, _ = apply_order(perm, s, r)
+    fields = np.take(fields, perm, axis=2)
+    ch = fields.shape[-1]
+
+    model = EncodeProcessDecode(
+        channels_in=ch,
+        channels_out=ch,
+        latent_size=config.model.latent_size,
+        process_steps=config.model.process_steps,
+        mlp_layers=config.model.mlp_layers,
+        residual=config.model.residual,
+        remat=tcfg.remat,
+    )
+
+    n_dev = len(jax.devices())
+    graph_parts = min(config.mesh.graph_axis, n_dev)
+    use_partition = graph_parts > 1 and n_dev % graph_parts == 0
+
+    if use_partition:
+        mesh = make_mesh(data=n_dev // graph_parts, graph=graph_parts)
+        pg = partition_graph(s2, r2, n, num_parts=graph_parts, reorder=False)
+        apply_fn = make_partitioned_apply(model, pg, mesh)
+        fields = pg.pad_nodes(fields)
+        global_graph = build_graph(s2, r2, n)  # for noise correlation
+    else:
+        mesh = None
+        g = build_graph(s2, r2, n)
+        graph = to_block_ell(g) if jax.default_backend() == "tpu" else g
+        apply_fn = lambda p, x: model.apply(p, graph, x)  # noqa: E731
+        global_graph = g
+
+    # Train on all members except the last (held out for skill verification).
+    ds = MeshEnsembleDataset(fields=fields[:, :-1])
+    params = model.init(jax.random.key(tcfg.seed))
+    opt = optax.adam(tcfg.lr * tcfg.lr_multiplier)
+    state = TrainState.create(params, opt)
+
+    registry = Registry(config.run.registry_root)
+    experiment = (config.run.experiment or default_experiment()) + "_MESH"
+    run = registry.create_run(experiment, config.to_dict(), config.run.run_name)
+    ckpt = Checkpointer(
+        Path(config.run.registry_root) / "checkpoints" / run.run_id,
+        max_to_keep=tcfg.max_checkpoints,
+    )
+    trainer = Trainer(
+        loss_fn=mesh_loss_fn(apply_fn), optimizer=opt, mesh=mesh,
+        run=run, checkpointer=ckpt, log_every=tcfg.log_every,
+    )
+
+    timer = StepTimer(edges_per_step=len(s) * tcfg.batch_size)
+    batches = lambda ep: ds.batches(tcfg.batch_size, shuffle=True, seed=ep)  # noqa: E731
+    state, best = trainer.fit(
+        state, batches, tcfg.epochs, checkpoint_every=tcfg.checkpoint_every
+    )
+    run.save_model(
+        state.params,
+        {"latent_size": config.model.latent_size,
+         "process_steps": config.model.process_steps,
+         "channels": ch, "levels": levels},
+        best_metric=best,
+    )
+
+    # Skill verification against the held-out member.
+    horizon = min(4, fields.shape[0] - 1)
+    base = jnp.asarray(fields[0, -1, :n] if use_partition else fields[0, -1])
+    truth = jnp.asarray(fields[1 : 1 + horizon, -1, :n] if use_partition
+                        else fields[1 : 1 + horizon, -1])
+
+    skill_model = (
+        EncodeProcessDecode(
+            channels_in=ch, channels_out=ch,
+            latent_size=config.model.latent_size,
+            process_steps=config.model.process_steps,
+            mlp_layers=config.model.mlp_layers,
+            residual=config.model.residual,
+            backend="segment",
+        )
+    )
+    gen = ensemble.generate_ensemble(
+        skill_model, state.params, global_graph, base, jax.random.key(7),
+        num_members=members, num_steps=horizon, sigma=0.05,
+    )
+    skill = ensemble.ensemble_skill(gen, truth, ensemble_axis=0)
+    for k, v in skill.items():
+        run.log_metric(f"skill_{k}", v)
+    run.finish()
+    log.info("mesh training done: best=%.5f skill=%s", best, skill)
+    return {"best_train_loss": best, "run_id": run.run_id, "nodes": n,
+            "edges": len(s), **{f"skill_{k}": v for k, v in skill.items()}}

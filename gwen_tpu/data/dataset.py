@@ -154,6 +154,41 @@ class ConvEnsembleDataset:
             yield x, y
 
 
+@dataclass
+class MeshEnsembleDataset:
+    """Mesh-scale next-step pairs (north-star task): fields
+    ``(time, member, nodes, channels)`` → batches of ``(x_t, x_{t+1})`` drawn
+    across time × member, with static shapes (last partial batch dropped)."""
+
+    fields: np.ndarray  # (time, member, nodes, channels)
+
+    def __post_init__(self) -> None:
+        t, m, _, _ = self.fields.shape
+        pairs = [(ti, mi) for mi in range(m) for ti in range(t - 1)]
+        self._pairs = np.asarray(pairs)
+
+    def __len__(self) -> int:
+        return len(self._pairs)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.fields.shape[2]
+
+    @property
+    def num_channels(self) -> int:
+        return self.fields.shape[3]
+
+    def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0):
+        order = np.arange(len(self._pairs))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            idx = self._pairs[order[start : start + batch_size]]
+            x = self.fields[idx[:, 0], idx[:, 1]]
+            y = self.fields[idx[:, 0] + 1, idx[:, 1]]
+            yield x, y
+
+
 def make_datasets(
     data_cfg: DataConfig, train_cfg: TrainConfig, kind: str = "graph"
 ) -> tuple:

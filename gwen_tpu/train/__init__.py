@@ -7,7 +7,7 @@ from gwen_tpu.train.mesh import (
     node_sharding,
     replicated,
 )
-from gwen_tpu.train.tasks import cnn_loss_fn, gnn_loss_fn
+from gwen_tpu.train.tasks import cnn_loss_fn, gnn_loss_fn, mesh_loss_fn
 from gwen_tpu.train.trainer import Trainer, TrainState
 
 __all__ = [
@@ -16,6 +16,7 @@ __all__ = [
     "TrainState",
     "cnn_loss_fn",
     "gnn_loss_fn",
+    "mesh_loss_fn",
     "data_sharding",
     "initialize_distributed",
     "is_main_process",

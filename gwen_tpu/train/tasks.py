@@ -57,6 +57,29 @@ def gnn_loss_fn(
     return loss_fn
 
 
+def mesh_loss_fn(apply_fn: Callable, loss: str = "mse") -> Callable:
+    """Mesh-scale next-step prediction task (BASELINE north star).
+
+    ``apply_fn(params, x) -> preds`` is either ``model.apply`` bound to a
+    global graph, or the shard_map-wrapped partitioned apply from
+    ``gwen_tpu.parallel.make_partitioned_apply``. Batch: ``(x, y)`` node-field
+    pairs ``(B, nodes, channels)`` — consecutive time steps of members.
+    """
+
+    def loss_fn(params, batch):
+        x, y = batch
+        preds = apply_fn(params, x)
+        if loss == "mse":
+            value = jnp.mean((preds - y) ** 2)
+        elif loss == "l1":
+            value = jnp.mean(jnp.abs(preds - y))
+        else:
+            raise ValueError(f"unknown mesh loss {loss!r}")
+        return value, preds
+
+    return loss_fn
+
+
 def cnn_loss_fn(model, loss: str = "l1", spatial_mask=None) -> Callable:
     """UNet CNN task: batch = (x, y) with member channels (train_cnn.py:42-86)."""
 
