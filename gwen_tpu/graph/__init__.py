@@ -1,10 +1,12 @@
 from gwen_tpu.graph.graph import (
     BlockEllGraph,
+    BlockTileGraph,
     DenseGraph,
     Graph,
     build_graph,
     gcn_normalize,
     to_block_ell,
+    to_block_tiles,
     to_dense,
 )
 from gwen_tpu.graph.build import (
@@ -17,11 +19,13 @@ from gwen_tpu.graph.reorder import apply_order, bandwidth, rcm_order
 
 __all__ = [
     "BlockEllGraph",
+    "BlockTileGraph",
     "DenseGraph",
     "Graph",
     "build_graph",
     "gcn_normalize",
     "to_block_ell",
+    "to_block_tiles",
     "to_dense",
     "complete_edges",
     "erdos_renyi_edges",

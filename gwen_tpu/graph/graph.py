@@ -101,6 +101,38 @@ class BlockEllGraph:
         return int(self.window_start.shape[0])
 
 
+@struct.dataclass
+class BlockTileGraph:
+    """Block-sparse-row layout for the tile-based Pallas SpMM kernel.
+
+    Destinations are grouped in ``block_size``-row blocks; each block lists
+    its *active* source tiles (``block_size``-row chunks that contain at
+    least one neighbor). Per destination node and tile slot, neighbor indices
+    are within-tile (0..block_size-1) in a flattened padded list of
+    ``tiles_max * tile_degree`` slots. Inactive tile slots have zero weights
+    and are skipped in-kernel via ``n_active``.
+    """
+
+    tile_idx: Array  # (num_blocks, tiles_max) int32 — source tile ids
+    n_active: Array  # (num_blocks,) int32 — active tiles per block
+    tnbr: Array  # (N_pad, tiles_max * tile_degree) int32, within-tile idx
+    tw: Array  # (N_pad, tiles_max * tile_degree) float32, 0 on padding
+    num_nodes: int = struct.field(pytree_node=False)
+    num_edges: int = struct.field(pytree_node=False)
+    block_size: int = struct.field(pytree_node=False)
+    tiles_max: int = struct.field(pytree_node=False)
+    tile_degree: int = struct.field(pytree_node=False)
+    num_src_rows: int = struct.field(pytree_node=False)
+
+    @property
+    def num_padded_nodes(self) -> int:
+        return int(self.tnbr.shape[0])
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.tile_idx.shape[0])
+
+
 # ------------------------------------------------------------------ builders
 
 
@@ -307,5 +339,91 @@ def to_block_ell(
         num_edges=e,
         block_size=block_size,
         window_size=window,
+        num_src_rows=src_pad,
+    )
+
+
+def to_block_tiles(
+    graph: Graph,
+    *,
+    block_size: int = 128,
+    lane_multiple: int = 8,
+    num_src: Optional[int] = None,
+) -> BlockTileGraph:
+    """Convert a COO graph to the block-tile (BSR) layout for the tile-based
+    Pallas SpMM kernel.
+
+    Unlike :func:`to_block_ell`, bandwidth only affects how many *tiles* a
+    destination block touches (``tiles_max``), not a contiguous window — so
+    HBM traffic and MXU work scale with the number of active tiles (~mean
+    degree of the block graph), not the bandwidth. RCM ordering still helps
+    by keeping ``tiles_max`` small.
+    """
+    n = graph.num_nodes
+    e = graph.num_edges
+    s = np.asarray(graph.senders)[:e].astype(np.int64)
+    r = np.asarray(graph.receivers)[:e].astype(np.int64)
+    w = np.asarray(graph.weights)[:e].astype(np.float32)
+    n_src = int(num_src) if num_src is not None else n
+    n_pad = _round_up(max(n, 1), block_size)
+    src_pad = _round_up(max(n_src, 1), block_size)
+    num_blocks = n_pad // block_size
+
+    order = np.lexsort((s, r))
+    s, r, w = s[order], r[order], w[order]
+    blk = r // block_size
+    tile = s // block_size
+
+    # Active tile list per destination block.
+    pair_key = blk * (src_pad // block_size + 1) + tile
+    uniq_pairs = np.unique(pair_key)
+    u_blk = uniq_pairs // (src_pad // block_size + 1)
+    u_tile = uniq_pairs % (src_pad // block_size + 1)
+    counts = np.bincount(u_blk, minlength=num_blocks)
+    tiles_max = int(counts.max()) if e else 1
+    tile_idx = np.zeros((num_blocks, tiles_max), np.int32)
+    n_active = counts.astype(np.int32)
+    starts = np.zeros(num_blocks + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot_of_pair = np.arange(len(u_blk)) - starts[u_blk]
+    tile_idx[u_blk, slot_of_pair] = u_tile
+    # Map each edge to its block-local tile slot.
+    pair_pos = np.searchsorted(uniq_pairs, pair_key)
+    e_slot = slot_of_pair[pair_pos]
+
+    # Per (node, tile-slot) sub-lists.
+    key2 = r * tiles_max + e_slot
+    counts2 = np.bincount(key2, minlength=n_pad * tiles_max)
+    tile_degree = int(counts2.max()) if e else 1
+    tile_degree = max(_round_up(tile_degree, lane_multiple), lane_multiple)
+    starts2 = np.zeros(n_pad * tiles_max + 1, np.int64)
+    np.cumsum(counts2, out=starts2[1:])
+    order2 = np.argsort(key2, kind="stable")
+    d_slot = np.empty(e, np.int64)
+    d_slot[order2] = np.arange(e) - starts2[key2[order2]]
+
+    tnbr = np.zeros((n_pad, tiles_max * tile_degree), np.int32)
+    tw = np.zeros((n_pad, tiles_max * tile_degree), np.float32)
+    col = e_slot * tile_degree + d_slot
+    tnbr[r, col] = (s % block_size).astype(np.int32)
+    tw[r, col] = w
+
+    # Pad the flattened slot axis to a lane multiple for clean VMEM layout.
+    flat = tiles_max * tile_degree
+    flat_pad = _round_up(flat, 128)
+    if flat_pad != flat:
+        tnbr = np.pad(tnbr, ((0, 0), (0, flat_pad - flat)))
+        tw = np.pad(tw, ((0, 0), (0, flat_pad - flat)))
+
+    return BlockTileGraph(
+        tile_idx=jnp.asarray(tile_idx),
+        n_active=jnp.asarray(n_active),
+        tnbr=jnp.asarray(tnbr),
+        tw=jnp.asarray(tw),
+        num_nodes=n,
+        num_edges=e,
+        block_size=block_size,
+        tiles_max=tiles_max,
+        tile_degree=tile_degree,
         num_src_rows=src_pad,
     )

@@ -1,6 +1,7 @@
 from gwen_tpu.ops.aggregate import (
     aggregate,
     aggregate_block_ell_reference,
+    aggregate_block_tiles_reference,
     aggregate_dense,
     aggregate_segment,
 )
@@ -8,6 +9,7 @@ from gwen_tpu.ops.aggregate import (
 __all__ = [
     "aggregate",
     "aggregate_block_ell_reference",
+    "aggregate_block_tiles_reference",
     "aggregate_dense",
     "aggregate_segment",
 ]

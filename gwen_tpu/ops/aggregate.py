@@ -28,7 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from gwen_tpu.graph.graph import BlockEllGraph, DenseGraph, Graph
+from gwen_tpu.graph.graph import BlockEllGraph, BlockTileGraph, DenseGraph, Graph
 
 Array = jnp.ndarray
 
@@ -73,6 +73,28 @@ def aggregate_block_ell_reference(graph: BlockEllGraph, x: Array) -> Array:
     return out[..., :out_rows, :]
 
 
+def aggregate_block_tiles_reference(graph: BlockTileGraph, x: Array) -> Array:
+    """jnp reference for the block-tile (BSR) layout; validates the v2 Pallas
+    kernel. Mathematically identical to :func:`aggregate_segment`."""
+    leading = x.shape[:-2]
+    n, f = x.shape[-2], x.shape[-1]
+    xp = jnp.zeros(leading + (graph.num_src_rows, f), x.dtype)
+    xp = xp.at[..., :n, :].set(x)
+    n_pad = graph.num_padded_nodes
+    bs = graph.block_size
+    dt = graph.tile_degree
+    # Absolute source index per (node, flat slot): tile base + within-tile.
+    flat = graph.tnbr.shape[1]
+    slot_tile = (jnp.arange(flat) // dt).clip(0, graph.tiles_max - 1)  # (flat,)
+    node_block = jnp.arange(n_pad) // bs  # (N_pad,)
+    tile_of_slot = graph.tile_idx[node_block[:, None], slot_tile[None, :]]
+    abs_idx = tile_of_slot * bs + graph.tnbr
+    gathered = jnp.take(xp, abs_idx, axis=-2)  # (..., N_pad, flat, f)
+    out = jnp.einsum("nk,...nkf->...nf", graph.tw.astype(x.dtype), gathered)
+    out_rows = n if graph.num_src_rows == n_pad else n_pad
+    return out[..., :out_rows, :]
+
+
 def aggregate(graph, x: Array, backend: str = "auto") -> Array:
     """Dispatch aggregation by graph container type / requested backend."""
     # Late import: parallel depends on ops for local aggregation.
@@ -82,6 +104,12 @@ def aggregate(graph, x: Array, backend: str = "auto") -> Array:
         return aggregate_dense(graph, x)
     if isinstance(graph, HaloGraph):
         return aggregate_halo(graph, x, backend=backend)
+    if isinstance(graph, BlockTileGraph):
+        if backend in ("auto", "pallas"):
+            from gwen_tpu.ops.spmm_pallas import spmm_block_tiles
+
+            return spmm_block_tiles(graph, x)
+        return aggregate_block_tiles_reference(graph, x)
     if isinstance(graph, BlockEllGraph):
         if backend in ("auto", "pallas"):
             from gwen_tpu.ops.spmm_pallas import spmm_block_ell

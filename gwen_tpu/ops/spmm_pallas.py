@@ -186,3 +186,162 @@ def _spmm_bwd(block, window, f_blk, res, g):
 
 
 _spmm_diff.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+# ----------------------------------------------------------- tile (BSR) kernel
+
+
+def _tile_kernel(tiles_max, tile_degree, tile_idx_ref, n_active_ref, tnbr_ref,
+                 tw_ref, x_hbm, out_ref, xtiles, acc, sems):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    block = tnbr_ref.shape[0]
+    f_blk = xtiles.shape[2]
+    nact = n_active_ref[i]
+
+    def tile_dma(t):
+        src = pl.multiple_of(tile_idx_ref[i, t] * block, block)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(src, block), pl.ds(j * f_blk, f_blk)],
+            xtiles.at[t],
+            sems.at[t],
+        )
+
+    # Launch all active-tile DMAs up front; they proceed while the VPU builds
+    # the per-tile scatter matrices below.
+    for t in range(tiles_max):
+        @pl.when(t < nact)
+        def _(t=t):
+            tile_dma(t).start()
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    acc[:] = jnp.zeros_like(acc)
+    for t in range(tiles_max):
+        s_mat = jnp.zeros((block, block), jnp.float32)
+        for d in range(tile_degree):
+            k = t * tile_degree + d
+            idx = tnbr_ref[:, k][:, None]
+            wgt = tw_ref[:, k][:, None]
+            s_mat = s_mat + jnp.where(col == idx, wgt, 0.0)
+
+        @pl.when(t < nact)
+        def _(t=t, s_mat=s_mat):
+            tile_dma(t).wait()
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if xtiles.dtype == jnp.float32
+                else None
+            )
+            acc[:] += jnp.dot(
+                s_mat.astype(xtiles.dtype), xtiles[t],
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+    out_ref[:] = acc[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _spmm_tiles_impl(tile_idx, n_active, tnbr, tw, x_pad, block, tiles_max,
+                     tile_degree, f_blk):
+    n_pad, f_pad = x_pad.shape
+    num_blocks = tnbr.shape[0] // block
+    grid = (num_blocks, f_pad // f_blk)
+    flat = tnbr.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # tile_idx, n_active
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, flat), lambda i, j, ti, na: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, flat), lambda i, j, ti, na: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; DMA'd
+        ],
+        out_specs=pl.BlockSpec((block, f_blk), lambda i, j, ti, na: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tiles_max, block, f_blk), x_pad.dtype),
+            pltpu.VMEM((block, f_blk), jnp.float32),
+            pltpu.SemaphoreType.DMA((tiles_max,)),
+        ],
+    )
+    kernel = functools.partial(_tile_kernel, tiles_max, tile_degree)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tnbr.shape[0], f_pad), x_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tnbr.shape[0] * tiles_max * block * f_pad,
+            bytes_accessed=num_blocks * tiles_max * block * f_pad
+            * x_pad.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(tile_idx, n_active, tnbr, tw, x_pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _spmm_tiles_diff(tile_idx, n_active, tnbr, tw, xp, block, tiles_max,
+                     tile_degree, f_blk):
+    return _spmm_tiles_impl(tile_idx, n_active, tnbr, tw, xp, block, tiles_max,
+                            tile_degree, f_blk)
+
+
+def _spmm_tiles_fwd(tile_idx, n_active, tnbr, tw, xp, block, tiles_max,
+                    tile_degree, f_blk):
+    out = _spmm_tiles_impl(tile_idx, n_active, tnbr, tw, xp, block, tiles_max,
+                           tile_degree, f_blk)
+    return out, (tile_idx, n_active, tnbr, tw)
+
+
+def _spmm_tiles_bwd(block, tiles_max, tile_degree, f_blk, res, g):
+    tile_idx, n_active, tnbr, tw = res
+    # Symmetric normalized adjacency: backward reuses the forward kernel.
+    gx = _spmm_tiles_impl(tile_idx, n_active, tnbr, tw, g.astype(tw.dtype),
+                          block, tiles_max, tile_degree, f_blk)
+    return (None, None, None, None, gx.astype(g.dtype))
+
+
+_spmm_tiles_diff.defvjp(_spmm_tiles_fwd, _spmm_tiles_bwd)
+
+
+def spmm_block_tiles(graph, x: Array, f_blk: int = 512) -> Array:
+    """Tile-based (BSR) Pallas aggregation over ``(..., N, F)``; the v2 kernel
+    — HBM traffic and MXU work scale with *active* source tiles instead of
+    the bandwidth window. Differentiable; batched dims fold into features."""
+    from gwen_tpu.graph.graph import BlockTileGraph
+
+    assert isinstance(graph, BlockTileGraph)
+    leading = x.shape[:-2]
+    n, f = x.shape[-2], x.shape[-1]
+    n_pad = graph.num_padded_nodes
+    src_rows = graph.num_src_rows
+    if n not in (graph.num_nodes, n_pad, src_rows):
+        raise ValueError(
+            f"x has {n} node rows; graph expects {graph.num_nodes} "
+            f"({n_pad} padded dst, {src_rows} src)"
+        )
+    out_rows = n if src_rows == n_pad or n != src_rows else n_pad
+    if leading:
+        xm = jnp.moveaxis(x.reshape((-1,) + x.shape[-2:]), 0, -1)
+        xm = xm.reshape(n, -1)
+    else:
+        xm = x
+    fold = xm.shape[1]
+    f_pad = _round_up(fold, 128)
+    f_blk_eff = min(f_blk, f_pad)
+    while f_pad % f_blk_eff:
+        f_blk_eff -= 128
+    xp = jnp.zeros((src_rows, f_pad), xm.dtype)
+    xp = xp.at[: xm.shape[0], :fold].set(xm)
+
+    out = _spmm_tiles_diff(
+        graph.tile_idx, graph.n_active, graph.tnbr, graph.tw, xp,
+        graph.block_size, graph.tiles_max, graph.tile_degree, f_blk_eff,
+    )
+    out = out[:out_rows, :fold]
+    if leading:
+        out = out.reshape(out_rows, f, -1)
+        out = jnp.moveaxis(out, -1, 0).reshape(leading + (out_rows, f))
+    return out

@@ -173,3 +173,31 @@ def test_simplify_mode():
     data = np.zeros((3, 8, 2, 2), np.float32)
     ds = MemberGraphDataset(data=data, member_split=6, seed=0, simplify=True)
     assert len(ds.input_indices) == 1 and len(ds.target_indices) == 1
+
+
+def test_multihost_helpers_single_process(tmp_path):
+    """Single-process degradation of the multi-host shard helpers."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from gwen_tpu.data import multihost, zarrstore
+    from gwen_tpu.train import make_mesh
+
+    arr = zarrstore.create(
+        tmp_path / "mh.zarr", shape=(4, 6, 3), dims=("time", "member", "cell"),
+        chunks=(4, 2, 3),
+    )
+    data = np.arange(4 * 6 * 3, dtype=np.float32).reshape(4, 6, 3)
+    arr.write((slice(None), slice(None), slice(None)), data)
+
+    sl = multihost.process_slice(6)
+    assert sl == slice(0, 6)  # single process owns everything
+    shard = multihost.load_member_shard(zarrstore.open_array(tmp_path / "mh.zarr"))
+    np.testing.assert_array_equal(shard, data)
+
+    ndev = len(jax.devices())
+    mesh = make_mesh(data=ndev, graph=1)
+    batch = np.repeat(data[:1], ndev * 2, axis=0)  # divisible by the data axis
+    garr = multihost.global_sharded_array(batch, mesh, P("data"))
+    assert garr.shape == (ndev * 2, 6, 3)
+    np.testing.assert_array_equal(multihost.all_gather_from_hosts(data), data)

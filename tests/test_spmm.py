@@ -60,3 +60,49 @@ def test_spmm_under_jit():
     got = jax.jit(lambda xx: spmm_block_ell(be, xx))(x)
     want = aggregate_segment(g, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+# ----------------------------------------------------------- tile (BSR) kernel
+
+
+def test_block_tiles_reference_matches_segment():
+    from gwen_tpu.graph import to_block_tiles
+    from gwen_tpu.ops import aggregate_block_tiles_reference
+
+    g, _, n = _mesh_graph()
+    bt = to_block_tiles(g, block_size=32)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(n, 24)).astype(np.float32))
+    got = aggregate_block_tiles_reference(bt, x)
+    want = aggregate_segment(g, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_tiles_matches_segment():
+    from gwen_tpu.graph import to_block_tiles
+    from gwen_tpu.ops.spmm_pallas import spmm_block_tiles
+
+    g, _, n = _mesh_graph()
+    bt = to_block_tiles(g, block_size=32)
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(n, 24)).astype(np.float32))
+    got = spmm_block_tiles(bt, x)
+    want = aggregate_segment(g, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_tiles_batched_and_grad():
+    from gwen_tpu.graph import to_block_tiles
+    from gwen_tpu.ops.spmm_pallas import spmm_block_tiles
+
+    g, _, n = _mesh_graph()
+    bt = to_block_tiles(g, block_size=32)
+    xb = jnp.asarray(np.random.default_rng(7).normal(size=(2, n, 8)).astype(np.float32))
+    got = spmm_block_tiles(bt, xb)
+    want = jax.vmap(lambda x: aggregate_segment(g, x))(xb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    x = xb[0]
+    f = lambda xx: jnp.sum(jnp.cos(spmm_block_tiles(bt, xx)))
+    fr = lambda xx: jnp.sum(jnp.cos(aggregate_segment(g, xx)))
+    ga = jax.grad(f)(x)
+    gr = jax.grad(fr)(x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gr), rtol=1e-4, atol=1e-4)
