@@ -60,27 +60,51 @@ def _time(fn, x, iters: int) -> float:
 
 
 def main() -> None:
+    import functools
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compile cache: compiles in this environment go over a tunnel.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
 
     levels = int(os.environ.get("GWEN_BENCH_LEVELS", "7"))
     feats = int(os.environ.get("GWEN_BENCH_FEATURES", "256"))
     iters = int(os.environ.get("GWEN_BENCH_ITERS", "50"))
+    kernel = os.environ.get("GWEN_BENCH_KERNEL", "sdense")
+    dtype = jnp.bfloat16 if os.environ.get("GWEN_BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
     g_coo, g_bell, n = _build(levels)
     edges = g_coo.num_edges  # includes self loops
-    x = jnp.asarray(
+    x32 = jnp.asarray(
         np.random.default_rng(0).normal(size=(n, feats)).astype(np.float32)
     )
+    x = x32.astype(dtype)
 
+    from gwen_tpu.graph import to_windowed_dense
     from gwen_tpu.ops import aggregate_segment
-    from gwen_tpu.ops.spmm_pallas import spmm_block_ell
+    from gwen_tpu.ops.spmm_pallas import spmm_block_ell, spmm_windowed_dense
 
-    pallas_fn = jax.jit(lambda xx: spmm_block_ell(g_bell, xx))
-    seg_fn = jax.jit(lambda xx: aggregate_segment(g_coo, xx))
+    # Graph tables are jit *arguments* (never closed-over constants).
+    if kernel == "sdense":
+        wd = to_windowed_dense(g_coo)
+        if dtype == jnp.bfloat16:
+            wd = wd.replace(s_mat=wd.s_mat.astype(jnp.bfloat16))
+        pallas_fn = functools.partial(jax.jit(spmm_windowed_dense), wd)
+    else:
+        pallas_fn = functools.partial(jax.jit(spmm_block_ell), g_bell)
+    seg_fn = functools.partial(jax.jit(aggregate_segment), g_coo)
 
     t_pallas = _time(pallas_fn, x, iters)
-    t_seg = _time(seg_fn, x, iters)
+    t_seg = _time(seg_fn, x32, iters)  # f32 baseline: the naive-port path
 
     eps_pallas = edges / t_pallas
     eps_seg = edges / t_seg
@@ -97,9 +121,10 @@ def main() -> None:
     )
     print(
         f"# mesh L{levels}: {n} nodes, {edges} edges (incl self-loops), "
-        f"F={feats}; pallas {t_pallas*1e3:.3f} ms/iter "
-        f"({eps_pallas/1e9:.2f} Gedge/s), xla-segment {t_seg*1e3:.3f} ms/iter "
-        f"({eps_seg/1e9:.2f} Gedge/s), backend={jax.default_backend()}",
+        f"F={feats}, kernel={kernel}, dtype={jnp.dtype(dtype).name}; "
+        f"pallas {t_pallas*1e3:.3f} ms/iter ({eps_pallas/1e9:.2f} Gedge/s), "
+        f"xla-segment-f32 {t_seg*1e3:.3f} ms/iter ({eps_seg/1e9:.2f} Gedge/s), "
+        f"backend={jax.default_backend()}",
         file=sys.stderr,
     )
 

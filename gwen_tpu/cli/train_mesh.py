@@ -68,17 +68,30 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16) -> dict:
     graph_parts = min(config.mesh.graph_axis, n_dev)
     use_partition = graph_parts > 1 and n_dev % graph_parts == 0
 
+    # Graph tables travel through the jitted steps as the Trainer *context*
+    # (arguments, not closed-over constants — mandatory at mesh scale).
+    from gwen_tpu.train.tasks import mesh_graph_loss_fn, mesh_loss_fn
+
     if use_partition:
         mesh = make_mesh(data=n_dev // graph_parts, graph=graph_parts)
         pg = partition_graph(s2, r2, n, num_parts=graph_parts, reorder=False)
         apply_fn = make_partitioned_apply(model, pg, mesh)
         fields = pg.pad_nodes(fields)
         global_graph = build_graph(s2, r2, n)  # for noise correlation
+        context = apply_fn.tables
+
+        def loss_fn(params, batch, tables):
+            x, y = batch
+            preds = apply_fn(params, x, tables)
+            import jax.numpy as jnp
+
+            return jnp.mean((preds - y) ** 2), preds
     else:
         mesh = None
         g = build_graph(s2, r2, n)
         graph = to_block_ell(g) if jax.default_backend() == "tpu" else g
-        apply_fn = lambda p, x: model.apply(p, graph, x)  # noqa: E731
+        context = graph
+        loss_fn = mesh_graph_loss_fn(model)
         global_graph = g
 
     # Train on all members except the last (held out for skill verification).

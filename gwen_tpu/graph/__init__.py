@@ -3,11 +3,13 @@ from gwen_tpu.graph.graph import (
     BlockTileGraph,
     DenseGraph,
     Graph,
+    WindowedDenseGraph,
     build_graph,
     gcn_normalize,
     to_block_ell,
     to_block_tiles,
     to_dense,
+    to_windowed_dense,
 )
 from gwen_tpu.graph.build import (
     complete_edges,
@@ -22,11 +24,13 @@ __all__ = [
     "BlockTileGraph",
     "DenseGraph",
     "Graph",
+    "WindowedDenseGraph",
     "build_graph",
     "gcn_normalize",
     "to_block_ell",
     "to_block_tiles",
     "to_dense",
+    "to_windowed_dense",
     "complete_edges",
     "erdos_renyi_edges",
     "grid2d_edges",

@@ -427,3 +427,71 @@ def to_block_tiles(
         tile_degree=tile_degree,
         num_src_rows=src_pad,
     )
+
+
+@struct.dataclass
+class WindowedDenseGraph:
+    """Precomputed dense scatter-matrix layout for the streamed-S Pallas
+    kernel (v3): per destination block, the one-hot × weight scatter matrix
+    over its source window is materialized host-side and streamed from HBM —
+    no VPU build in the kernel, just one MXU matmul per (block, f-tile).
+
+    Memory: ``N_pad × window × itemsize`` (e.g. L7 icosphere, window 1664:
+    0.55 GB bf16) — the fast, memory-hungry option; BlockEllGraph is the
+    compact one.
+    """
+
+    s_mat: Array  # (N_pad, window) — scatter matrix rows, window-relative cols
+    window_start: Array  # (num_blocks,) int32, block-aligned
+    num_nodes: int = struct.field(pytree_node=False)
+    num_edges: int = struct.field(pytree_node=False)
+    block_size: int = struct.field(pytree_node=False)
+    num_src_rows: int = struct.field(pytree_node=False)
+
+    @property
+    def num_padded_nodes(self) -> int:
+        return int(self.s_mat.shape[0])
+
+    @property
+    def window_size(self) -> int:
+        return int(self.s_mat.shape[1])
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.window_start.shape[0])
+
+
+def to_windowed_dense(
+    graph: Graph,
+    *,
+    block_size: int = 128,
+    window_size: Optional[int] = None,
+    dtype=np.float32,
+) -> WindowedDenseGraph:
+    """Materialize per-block scatter matrices (host-side) for the streamed-S
+    kernel. Requires RCM ordering like :func:`to_block_ell`."""
+    e = graph.num_edges
+    n = graph.num_nodes
+    nbr, nbr_w, win_start, window, src_pad = ell_tables(
+        np.asarray(graph.senders)[:e],
+        np.asarray(graph.receivers)[:e],
+        np.asarray(graph.weights)[:e],
+        num_dst=n,
+        num_src=n,
+        block_size=block_size,
+        window_size=window_size,
+    )
+    n_pad = nbr.shape[0]
+    s_mat = np.zeros((n_pad, window), dtype)
+    rows = np.repeat(np.arange(n_pad), nbr.shape[1])
+    cols = nbr.ravel()
+    np.add.at(s_mat, (rows, cols), nbr_w.ravel().astype(dtype))
+    # Padding slots all point at col 0 with weight 0 — harmless in the add.
+    return WindowedDenseGraph(
+        s_mat=jnp.asarray(s_mat),
+        window_start=jnp.asarray(win_start),
+        num_nodes=n,
+        num_edges=e,
+        block_size=block_size,
+        num_src_rows=src_pad,
+    )

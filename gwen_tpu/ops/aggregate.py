@@ -28,7 +28,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from gwen_tpu.graph.graph import BlockEllGraph, BlockTileGraph, DenseGraph, Graph
+from gwen_tpu.graph.graph import (
+    BlockEllGraph,
+    BlockTileGraph,
+    DenseGraph,
+    Graph,
+    WindowedDenseGraph,
+)
 
 Array = jnp.ndarray
 
@@ -104,6 +110,10 @@ def aggregate(graph, x: Array, backend: str = "auto") -> Array:
         return aggregate_dense(graph, x)
     if isinstance(graph, HaloGraph):
         return aggregate_halo(graph, x, backend=backend)
+    if isinstance(graph, WindowedDenseGraph):
+        from gwen_tpu.ops.spmm_pallas import spmm_windowed_dense
+
+        return spmm_windowed_dense(graph, x)
     if isinstance(graph, BlockTileGraph):
         if backend in ("auto", "pallas"):
             from gwen_tpu.ops.spmm_pallas import spmm_block_tiles

@@ -345,3 +345,124 @@ def spmm_block_tiles(graph, x: Array, f_blk: int = 512) -> Array:
         out = out.reshape(out_rows, f, -1)
         out = jnp.moveaxis(out, -1, 0).reshape(leading + (out_rows, f))
     return out
+
+
+# ------------------------------------------------------- streamed-S kernel (v3)
+
+
+def _sdense_kernel(ws_ref, s_ref, x_hbm, out_ref, xw, sem):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    f_blk = xw.shape[1]
+    window = xw.shape[0]
+    block = s_ref.shape[0]
+
+    start = pl.multiple_of(ws_ref[i], block)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(start, window), pl.ds(j * f_blk, f_blk)],
+        xw,
+        sem,
+    )
+    dma.start()
+    # S streams in via its BlockSpec (auto double-buffered); the window DMA
+    # overlaps the previous block's matmul in the pallas pipeline.
+    dma.wait()
+    prec = jax.lax.Precision.HIGHEST if xw.dtype == jnp.float32 else None
+    out_ref[:] = jnp.dot(
+        s_ref[:].astype(xw.dtype), xw[:],
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _sdense_impl(ws, s_mat, x_pad, block, window, f_blk):
+    n_pad_dst = s_mat.shape[0]
+    f_pad = x_pad.shape[1]
+    grid = (n_pad_dst // block, f_pad // f_blk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, window), lambda i, j, ws_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # x in HBM; window DMA'd
+        ],
+        out_specs=pl.BlockSpec((block, f_blk), lambda i, j, ws_: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((window, f_blk), x_pad.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _sdense_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad_dst, f_pad), x_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad_dst * window * f_pad,
+            bytes_accessed=(
+                s_mat.size * s_mat.dtype.itemsize
+                + (n_pad_dst // block) * window * f_pad * x_pad.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(ws, s_mat, x_pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _sdense_diff(ws, s_mat, xp, block, window, f_blk):
+    return _sdense_impl(ws, s_mat, xp, block, window, f_blk)
+
+
+def _sdense_fwd(ws, s_mat, xp, block, window, f_blk):
+    return _sdense_impl(ws, s_mat, xp, block, window, f_blk), (ws, s_mat)
+
+
+def _sdense_bwd(block, window, f_blk, res, g):
+    ws, s_mat = res
+    gx = _sdense_impl(ws, s_mat, g.astype(g.dtype), block, window, f_blk)
+    return (None, None, gx.astype(g.dtype))
+
+
+_sdense_diff.defvjp(_sdense_fwd, _sdense_bwd)
+
+
+def spmm_windowed_dense(graph, x: Array, f_blk: int = 512) -> Array:
+    """Streamed-S aggregation (v3): one MXU matmul per (block, f-tile) with
+    the precomputed scatter matrix streamed from HBM. Fastest kernel; costs
+    ``N_pad × window`` HBM memory for S."""
+    from gwen_tpu.graph.graph import WindowedDenseGraph
+
+    assert isinstance(graph, WindowedDenseGraph)
+    leading = x.shape[:-2]
+    n, f = x.shape[-2], x.shape[-1]
+    n_pad = graph.num_padded_nodes
+    src_rows = graph.num_src_rows
+    if n not in (graph.num_nodes, n_pad, src_rows):
+        raise ValueError(
+            f"x has {n} node rows; graph expects {graph.num_nodes} "
+            f"({n_pad} padded dst, {src_rows} src)"
+        )
+    out_rows = n if src_rows == n_pad else n_pad
+    if leading:
+        xm = jnp.moveaxis(x.reshape((-1,) + x.shape[-2:]), 0, -1)
+        xm = xm.reshape(n, -1)
+    else:
+        xm = x
+    fold = xm.shape[1]
+    f_pad = _round_up(fold, 128)
+    f_blk_eff = min(f_blk, f_pad)
+    while f_pad % f_blk_eff:
+        f_blk_eff -= 128
+    xp = jnp.zeros((src_rows, f_pad), xm.dtype)
+    xp = xp.at[: xm.shape[0], :fold].set(xm)
+
+    out = _sdense_diff(graph.window_start, graph.s_mat, xp,
+                       graph.block_size, graph.window_size, f_blk_eff)
+    out = out[:out_rows, :fold]
+    if leading:
+        out = out.reshape(out_rows, f, -1)
+        out = jnp.moveaxis(out, -1, 0).reshape(leading + (out_rows, f))
+    return out

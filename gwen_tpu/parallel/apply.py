@@ -36,9 +36,11 @@ def make_partitioned_apply(
     The result is jit-compatible; batch (leading) axis is sharded over
     ``data_axis`` when present, node axis over ``graph_axis``.
     """
-    nbr = jnp.asarray(pg.nbr)
-    nbr_w = jnp.asarray(pg.nbr_weight)
-    wstart = jnp.asarray(pg.window_start)
+    tables = (
+        jnp.asarray(pg.nbr),
+        jnp.asarray(pg.nbr_weight),
+        jnp.asarray(pg.window_start),
+    )
     max_edges = int(pg.edges_per_part.max()) if pg.num_parts else 0
 
     def local_apply(nbr_p, nbr_w_p, wstart_p, params, x):
@@ -62,7 +64,11 @@ def make_partitioned_apply(
             spec[0] = data_axis
         return P(*spec)
 
-    def apply(params, x):
+    def apply(params, x, tables_arg=None):
+        """``tables_arg`` lets callers thread the partition tables through a
+        jit boundary as arguments (mesh-scale-safe; defaults to the captured
+        tables, fine for small graphs)."""
+        t = tables if tables_arg is None else tables_arg
         mapped = jax.shard_map(
             local_apply,
             mesh=mesh,
@@ -70,6 +76,7 @@ def make_partitioned_apply(
             out_specs=x_spec(x.ndim),
             check_vma=False,
         )
-        return mapped(nbr, nbr_w, wstart, params, x)
+        return mapped(*t, params, x)
 
+    apply.tables = tables
     return apply

@@ -80,6 +80,26 @@ def mesh_loss_fn(apply_fn: Callable, loss: str = "mse") -> Callable:
     return loss_fn
 
 
+def mesh_graph_loss_fn(model, loss: str = "mse") -> Callable:
+    """Context-aware mesh task: ``loss_fn(params, (x, y), graph)`` with the
+    graph container supplied through the Trainer's ``context`` — the
+    mesh-scale-safe pattern (graph tables are jit *arguments*, never inlined
+    constants; see Trainer docstring)."""
+
+    def loss_fn(params, batch, graph):
+        x, y = batch
+        preds = model.apply(params, graph, x)
+        if loss == "mse":
+            value = jnp.mean((preds - y) ** 2)
+        elif loss == "l1":
+            value = jnp.mean(jnp.abs(preds - y))
+        else:
+            raise ValueError(f"unknown mesh loss {loss!r}")
+        return value, preds
+
+    return loss_fn
+
+
 def cnn_loss_fn(model, loss: str = "l1", spatial_mask=None) -> Callable:
     """UNet CNN task: batch = (x, y) with member channels (train_cnn.py:42-86)."""
 

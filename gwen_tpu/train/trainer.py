@@ -75,24 +75,37 @@ class Trainer:
         run: Optional[Run] = None,
         checkpointer: Optional[Checkpointer] = None,
         log_every: int = 10,
+        context: Any = None,
     ):
+        """``context`` is an optional pytree of device arrays (typically the
+        graph container) passed to every jitted step as an *argument* —
+        mandatory at mesh scale: arrays closed over inside ``jit`` are
+        inlined into the program as constants, which bloats compiles (and
+        overflows remote-compile payloads) for multi-GB graph tables. With a
+        context, ``loss_fn(params, batch, context)``; without,
+        ``loss_fn(params, batch)``."""
         self.loss_fn = loss_fn
         self.optimizer = optimizer
         self.mesh = mesh
         self.run = run
         self.checkpointer = checkpointer
         self.log_every = log_every
+        self.context = context
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+
+    def _call_loss(self, params, batch, context):
+        if self.context is None:
+            return self.loss_fn(params, batch)
+        return self.loss_fn(params, batch, context)
 
     # ------------------------------------------------------------ jit steps
     def _build_train_step(self):
         optimizer = self.optimizer
-        loss_fn = self.loss_fn
 
-        def step(state: TrainState, batch):
-            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, batch
+        def step(state: TrainState, batch, context):
+            (loss, _), grads = jax.value_and_grad(self._call_loss, has_aux=True)(
+                state.params, batch, context
             )
             updates, opt_state = optimizer.update(
                 grads, state.opt_state, state.params
@@ -107,16 +120,14 @@ class Trainer:
             return jax.jit(
                 step,
                 donate_argnums=(0,),
-                in_shardings=(replicated(self.mesh), None),
+                in_shardings=(replicated(self.mesh), None, None),
                 out_shardings=(replicated(self.mesh), None),
             )
         return jax.jit(step, donate_argnums=(0,))
 
     def _build_eval_step(self):
-        loss_fn = self.loss_fn
-
-        def step(params, batch):
-            return loss_fn(params, batch)
+        def step(params, batch, context):
+            return self._call_loss(params, batch, context)
 
         return jax.jit(step)
 
@@ -142,8 +153,18 @@ class Trainer:
         epochs: int,
         checkpoint_every: int = 0,
         prefetch_size: int = 2,
+        resume: bool = False,
     ) -> tuple[TrainState, float]:
-        """Run ``epochs`` passes; returns (final_state, best_epoch_loss)."""
+        """Run ``epochs`` passes; returns (final_state, best_epoch_loss).
+
+        With ``resume=True`` and an existing checkpoint, training restarts
+        from the latest saved state (params, optimizer, step) — the
+        failure-recovery path the reference lacks (SURVEY §5).
+        """
+        if resume and self.checkpointer and self.checkpointer.latest_step() is not None:
+            state = self.checkpointer.restore(state)
+            if is_main_process():
+                log.info("resumed from checkpoint at step %d", int(state.step))
         best_loss = float("inf")
         step = int(state.step)
         for epoch in range(epochs):
@@ -154,7 +175,7 @@ class Trainer:
                 prefetch_size,
             )
             for batch in it:
-                state, loss = self._train_step(state, batch)
+                state, loss = self._train_step(state, batch, self.context)
                 step += 1
                 losses.append(loss)
                 if checkpoint_every and self.checkpointer and step % checkpoint_every == 0:
@@ -191,7 +212,7 @@ class Trainer:
         """
         losses, preds = [], []
         for batch in (self._shard_batch(b) for b in batches):
-            loss, pred = self._eval_step(params, batch)
+            loss, pred = self._eval_step(params, batch, self.context)
             losses.append(float(loss))
             if collect_preds:
                 preds.append(np.asarray(jax.device_get(pred)))

@@ -106,3 +106,37 @@ def test_spmm_tiles_batched_and_grad():
     ga = jax.grad(f)(x)
     gr = jax.grad(fr)(x)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gr), rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------- streamed-S kernel (v3)
+
+
+def test_spmm_windowed_dense_matches_segment():
+    from gwen_tpu.graph import to_windowed_dense
+    from gwen_tpu.ops.spmm_pallas import spmm_windowed_dense
+
+    g, _, n = _mesh_graph()
+    wd = to_windowed_dense(g, block_size=32)
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(n, 24)).astype(np.float32))
+    got = spmm_windowed_dense(wd, x)
+    want = aggregate_segment(g, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_windowed_dense_batched_and_grad():
+    from gwen_tpu.graph import to_windowed_dense
+    from gwen_tpu.ops.spmm_pallas import spmm_windowed_dense
+
+    g, _, n = _mesh_graph()
+    wd = to_windowed_dense(g, block_size=32)
+    xb = jnp.asarray(np.random.default_rng(9).normal(size=(2, n, 8)).astype(np.float32))
+    got = spmm_windowed_dense(wd, xb)
+    want = jax.vmap(lambda x: aggregate_segment(g, x))(xb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    x = xb[0]
+    f = lambda xx: jnp.sum(jnp.tanh(spmm_windowed_dense(wd, xx)))
+    fr = lambda xx: jnp.sum(jnp.tanh(aggregate_segment(g, xx)))
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(x)), np.asarray(jax.grad(fr)(x)), rtol=1e-4, atol=1e-4
+    )

@@ -147,3 +147,18 @@ def test_data_parallel_training_matches_single_device():
         jax.tree_util.tree_leaves(out8.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_checkpoint_auto_resume(tmp_path):
+    """fit(resume=True) restarts from the latest checkpoint (SURVEY §5 gap)."""
+    ds = _dataset(t=4)
+    ckpt = Checkpointer(tmp_path / "ckpt", max_to_keep=2)
+    trainer, state, _ = _make_trainer(checkpointer=ckpt)
+    state, _ = trainer.fit(state, _batches(ds), epochs=2)
+    saved_step = int(state.step)
+
+    # Simulate a crash: fresh process state, resume from disk.
+    trainer2, fresh, _ = _make_trainer(checkpointer=ckpt)
+    resumed, _ = trainer2.fit(fresh, _batches(ds), epochs=1, resume=True)
+    assert int(resumed.step) > saved_step  # continued, not restarted
+    ckpt.close()
