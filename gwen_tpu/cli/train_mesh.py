@@ -33,7 +33,7 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16) -> dict:
         apply_order,
         build_graph,
         rcm_order,
-        to_block_ell,
+        to_windowed_dense,
     )
     from gwen_tpu.nn import EncodeProcessDecode
     from gwen_tpu.parallel import make_partitioned_apply, partition_graph
@@ -54,6 +54,11 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16) -> dict:
     fields = np.take(fields, perm, axis=2)
     ch = fields.shape[-1]
 
+    import jax.numpy as jnp
+
+    compute_dtype = (
+        jnp.bfloat16 if config.model.compute_dtype == "bfloat16" else jnp.float32
+    )
     model = EncodeProcessDecode(
         channels_in=ch,
         channels_out=ch,
@@ -62,6 +67,7 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16) -> dict:
         mlp_layers=config.model.mlp_layers,
         residual=config.model.residual,
         remat=tcfg.remat,
+        compute_dtype=compute_dtype,
     )
 
     n_dev = len(jax.devices())
@@ -89,7 +95,13 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16) -> dict:
     else:
         mesh = None
         g = build_graph(s2, r2, n)
-        graph = to_block_ell(g) if jax.default_backend() == "tpu" else g
+        if jax.default_backend() == "tpu":
+            # Streamed-S kernel (fastest); S dtype matches the compute dtype.
+            graph = to_windowed_dense(g)
+            if compute_dtype == jnp.bfloat16:
+                graph = graph.replace(s_mat=graph.s_mat.astype(jnp.bfloat16))
+        else:
+            graph = g
         context = graph
         loss_fn = mesh_graph_loss_fn(model)
         global_graph = g

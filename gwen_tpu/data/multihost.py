@@ -12,8 +12,6 @@ Degrades cleanly to single-process (shard = everything).
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -14,7 +14,6 @@ import threading
 from typing import Callable, Iterable, Iterator, Optional
 
 import jax
-import numpy as np
 
 
 def shard_batches(

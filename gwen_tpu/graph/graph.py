@@ -495,3 +495,103 @@ def to_windowed_dense(
         block_size=block_size,
         num_src_rows=src_pad,
     )
+
+
+@struct.dataclass
+class SlidingDenseGraph:
+    """Streamed-S + sliding-window layout for the v4 Pallas kernel.
+
+    Like :class:`WindowedDenseGraph` but source rows live in a VMEM *ring
+    buffer*: scatter-matrix columns are ``absolute_src_row % ring_rows``, and
+    per destination block the kernel DMAs only the *delta* rows its window
+    adds over the previous block's (graph bandwidth ⇒ deltas are a few
+    128-row chunks), cutting window HBM traffic ~(window/block)×. Window
+    starts are made monotonically nondecreasing at build time; the ring holds
+    ``window + max_delta`` rows so the next block's delta never overwrites
+    rows the current block still reads.
+    """
+
+    s_mat: Array  # (N_pad, ring_rows) — scatter rows, ring-layout columns
+    window_start: Array  # (num_blocks,) int32, block-aligned, nondecreasing
+    delta_blocks: Array  # (num_blocks,) int32 — 128-row chunks to fetch at i
+    num_nodes: int = struct.field(pytree_node=False)
+    num_edges: int = struct.field(pytree_node=False)
+    block_size: int = struct.field(pytree_node=False)
+    window_size: int = struct.field(pytree_node=False)
+    max_delta_blocks: int = struct.field(pytree_node=False)
+    num_src_rows: int = struct.field(pytree_node=False)
+
+    @property
+    def num_padded_nodes(self) -> int:
+        return int(self.s_mat.shape[0])
+
+    @property
+    def ring_rows(self) -> int:
+        return int(self.s_mat.shape[1])
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.window_start.shape[0])
+
+
+def to_sliding_dense(
+    graph: Graph,
+    *,
+    block_size: int = 128,
+    dtype=np.float32,
+) -> SlidingDenseGraph:
+    """Build the sliding-ring streamed-S layout (v4 kernel)."""
+    e = graph.num_edges
+    n = graph.num_nodes
+    nbr, nbr_w, win_start, window, src_pad = ell_tables(
+        np.asarray(graph.senders)[:e],
+        np.asarray(graph.receivers)[:e],
+        np.asarray(graph.weights)[:e],
+        num_dst=n,
+        num_src=n,
+        block_size=block_size,
+    )
+    n_pad = nbr.shape[0]
+    num_blocks = n_pad // block_size
+    ws = win_start.astype(np.int64)
+
+    # Monotonic window starts (running max); windows must still cover spans.
+    ws_mono = np.maximum.accumulate(ws)
+    # Recover absolute source indices, then re-express relative to ws_mono.
+    abs_idx = nbr + ws.repeat(block_size)[:, None]
+    rel_mono = abs_idx - ws_mono.repeat(block_size)[:, None]
+    rel_mono = np.where(nbr_w != 0, rel_mono, 0)
+    if rel_mono.min() < 0:
+        raise AssertionError("monotonic window start broke coverage (below)")
+    max_rel = int((np.where(nbr_w != 0, rel_mono, 0)).max()) if e else 0
+    window = max(window, _round_up(max_rel + 1, block_size))
+    window = min(window, src_pad)
+    if max_rel >= window:
+        raise ValueError("window cannot cover spans after monotonic adjustment")
+
+    deltas = np.diff(ws_mono, prepend=ws_mono[0])  # deltas[0] == 0
+    assert (deltas % block_size == 0).all()
+    delta_blocks = (deltas // block_size).astype(np.int32)
+    # Step 0 fetches the full window.
+    delta_blocks[0] = window // block_size
+    max_delta = int(delta_blocks[1:].max()) if num_blocks > 1 else 0
+    ring_rows = window + max(max_delta, 1) * block_size
+
+    # Scatter matrix with ring-layout columns: col = abs_src % ring_rows.
+    abs_idx_m = (ws_mono.repeat(block_size)[:, None] + rel_mono)
+    cols = (abs_idx_m % ring_rows).astype(np.int64)
+    s_mat = np.zeros((n_pad, ring_rows), dtype)
+    rows = np.repeat(np.arange(n_pad), nbr.shape[1])
+    np.add.at(s_mat, (rows, cols.ravel()), nbr_w.ravel().astype(dtype))
+
+    return SlidingDenseGraph(
+        s_mat=jnp.asarray(s_mat),
+        window_start=jnp.asarray(ws_mono.astype(np.int32)),
+        delta_blocks=jnp.asarray(delta_blocks),
+        num_nodes=n,
+        num_edges=e,
+        block_size=block_size,
+        window_size=int(window),
+        max_delta_blocks=max(max_delta, 1),
+        num_src_rows=src_pad,
+    )

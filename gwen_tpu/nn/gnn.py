@@ -17,7 +17,7 @@ Both are pure ``init``/``apply`` definitions over a graph container from
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -466,3 +466,174 @@ def spmm_windowed_dense(graph, x: Array, f_blk: int = 512) -> Array:
         out = out.reshape(out_rows, f, -1)
         out = jnp.moveaxis(out, -1, 0).reshape(leading + (out_rows, f))
     return out
+
+
+# ------------------------------------------- sliding-ring streamed-S kernel (v4)
+
+
+def _sliding_kernel(window, ring_rows, max_fill, num_blocks,
+                    ws_ref, db_ref, s_ref, x_hbm, out_ref, ring, sems):
+    j = pl.program_id(0)  # feature tile (outer)
+    i = pl.program_id(1)  # destination block (inner, sequential)
+    f_blk = ring.shape[1]
+    block = s_ref.shape[0]
+
+    def chunk(step, k):
+        """DMA for 128-row chunk k of the rows step ``step`` must add."""
+        base = jnp.where(step == 0, ws_ref[0],
+                         ws_ref[jnp.maximum(step - 1, 0)] + window)
+        src = pl.multiple_of(base + k * block, block)
+        dst = pl.multiple_of(jax.lax.rem(src, ring_rows), block)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(src, block), pl.ds(j * f_blk, f_blk)],
+            ring.at[pl.ds(dst, block), :],
+            sems.at[k],
+        )
+
+    # Hot-loop DMA bookkeeping is sized by max_delta (a couple of chunks),
+    # not the full window — only the cold start touches max_fill descriptors.
+    max_delta = max_fill[1]
+    max_fill = max_fill[0]
+
+    # Cold start of each f-tile walk: zero the ring (the matmul contracts
+    # over all ring rows; never-fetched slots must be 0, not garbage), then
+    # fetch and await the full first window.
+    @pl.when(i == 0)
+    def _():
+        ring[:] = jnp.zeros_like(ring)
+        for k in range(max_fill):
+            @pl.when(k < db_ref[0])
+            def _(k=k):
+                chunk(0, k).start()
+        for k in range(max_fill):
+            @pl.when(k < db_ref[0])
+            def _(k=k):
+                chunk(0, k).wait()
+
+    # Wait for this block's delta rows (issued at i-1).
+    @pl.when(i > 0)
+    def _():
+        for k in range(max_delta):
+            @pl.when(k < db_ref[i])
+            def _(k=k):
+                chunk(i, k).wait()
+
+    # Prefetch the next block's delta rows; they only overwrite ring slots
+    # holding rows below the current window (see SlidingDenseGraph proof).
+    for k in range(max_delta):
+        @pl.when((i + 1 < num_blocks) & (k < db_ref[jnp.minimum(i + 1, num_blocks - 1)]))
+        def _(k=k):
+            chunk(i + 1, k).start()
+
+    prec = jax.lax.Precision.HIGHEST if ring.dtype == jnp.float32 else None
+    out_ref[:] = jnp.dot(
+        s_ref[:].astype(ring.dtype), ring[:],
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _sliding_impl(ws, db, s_mat, x_pad, block, window, ring_rows, f_blk, max_delta):
+    n_pad_dst = s_mat.shape[0]
+    f_pad = x_pad.shape[1]
+    num_blocks = n_pad_dst // block
+    max_fill = (max(window // block, 1), max(max_delta, 1))
+    grid = (f_pad // f_blk, num_blocks)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, ring_rows), lambda j, i, ws_, db_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((block, f_blk), lambda j, i, ws_, db_: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((ring_rows, f_blk), x_pad.dtype),
+            pltpu.SemaphoreType.DMA((max_fill[0],)),
+        ],
+    )
+    kernel = functools.partial(
+        _sliding_kernel, window, ring_rows, max_fill, num_blocks
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad_dst, f_pad), x_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad_dst * ring_rows * f_pad,
+            bytes_accessed=s_mat.size * s_mat.dtype.itemsize
+            + x_pad.size * x_pad.dtype.itemsize
+            + n_pad_dst * f_pad * x_pad.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(ws, db, s_mat, x_pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _sliding_diff(ws, db, s_mat, xp, block, window, ring_rows, f_blk, max_delta):
+    return _sliding_impl(ws, db, s_mat, xp, block, window, ring_rows, f_blk, max_delta)
+
+
+def _sliding_fwd(ws, db, s_mat, xp, block, window, ring_rows, f_blk, max_delta):
+    return (
+        _sliding_impl(ws, db, s_mat, xp, block, window, ring_rows, f_blk, max_delta),
+        (ws, db, s_mat),
+    )
+
+
+def _sliding_bwd(block, window, ring_rows, f_blk, max_delta, res, g):
+    ws, db, s_mat = res
+    gx = _sliding_impl(ws, db, s_mat, g, block, window, ring_rows, f_blk, max_delta)
+    return (None, None, None, gx.astype(g.dtype))
+
+
+_sliding_diff.defvjp(_sliding_fwd, _sliding_bwd)
+
+
+def spmm_sliding_dense(graph, x: Array, f_blk: int = 512) -> Array:
+    """Sliding-ring streamed-S aggregation (v4): delta window DMA + one MXU
+    matmul per (block, f-tile); HBM traffic ≈ S + x + out (each read/written
+    once)."""
+    from gwen_tpu.graph.graph import SlidingDenseGraph
+
+    assert isinstance(graph, SlidingDenseGraph)
+    leading = x.shape[:-2]
+    n, f = x.shape[-2], x.shape[-1]
+    n_pad = graph.num_padded_nodes
+    src_rows = graph.num_src_rows
+    if n not in (graph.num_nodes, n_pad, src_rows):
+        raise ValueError(
+            f"x has {n} node rows; graph expects {graph.num_nodes} "
+            f"({n_pad} padded dst, {src_rows} src)"
+        )
+    out_rows = n if src_rows == n_pad else n_pad
+    if leading:
+        xm = jnp.moveaxis(x.reshape((-1,) + x.shape[-2:]), 0, -1)
+        xm = xm.reshape(n, -1)
+    else:
+        xm = x
+    fold = xm.shape[1]
+    f_pad = _round_up(fold, 128)
+    f_blk_eff = min(f_blk, f_pad)
+    while f_pad % f_blk_eff:
+        f_blk_eff -= 128
+    # Pad source rows so every window/delta chunk stays in bounds.
+    src_alloc = _round_up(src_rows, graph.block_size)
+    xp = jnp.zeros((src_alloc, f_pad), xm.dtype)
+    xp = xp.at[: xm.shape[0], :fold].set(xm)
+
+    out = _sliding_diff(
+        graph.window_start, graph.delta_blocks, graph.s_mat, xp,
+        graph.block_size, graph.window_size, graph.ring_rows, f_blk_eff,
+        graph.max_delta_blocks,
+    )
+    out = out[:out_rows, :fold]
+    if leading:
+        out = out.reshape(out_rows, f, -1)
+        out = jnp.moveaxis(out, -1, 0).reshape(leading + (out_rows, f))
+    return out

@@ -6,7 +6,7 @@ as pure functions instead of model-methods-with-side-effects.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

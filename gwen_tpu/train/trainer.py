@@ -21,8 +21,6 @@ rank-reorder dance (models_gnn.py:470-471).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, Iterable, Optional
 
 import jax
@@ -31,7 +29,7 @@ import numpy as np
 import optax
 from flax import struct
 
-from gwen_tpu.data.pipeline import prefetch, shard_batches
+from gwen_tpu.data.pipeline import prefetch
 from gwen_tpu.logging_utils import get_logger
 from gwen_tpu.registry import Run
 from gwen_tpu.train.checkpoint import Checkpointer

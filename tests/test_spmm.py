@@ -140,3 +140,51 @@ def test_spmm_windowed_dense_batched_and_grad():
     np.testing.assert_allclose(
         np.asarray(jax.grad(f)(x)), np.asarray(jax.grad(fr)(x)), rtol=1e-4, atol=1e-4
     )
+
+
+# --------------------------------------------- sliding-ring streamed-S (v4)
+
+
+def test_spmm_sliding_dense_matches_segment():
+    from gwen_tpu.graph import to_sliding_dense
+    from gwen_tpu.ops.spmm_pallas import spmm_sliding_dense
+
+    g, _, n = _mesh_graph()
+    sd = to_sliding_dense(g, block_size=32)
+    x = jnp.asarray(np.random.default_rng(10).normal(size=(n, 24)).astype(np.float32))
+    got = spmm_sliding_dense(sd, x)
+    want = aggregate_segment(g, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_sliding_dense_batched_and_grad():
+    from gwen_tpu.graph import to_sliding_dense
+    from gwen_tpu.ops.spmm_pallas import spmm_sliding_dense
+
+    g, _, n = _mesh_graph()
+    sd = to_sliding_dense(g, block_size=32)
+    xb = jnp.asarray(np.random.default_rng(11).normal(size=(2, n, 8)).astype(np.float32))
+    got = spmm_sliding_dense(sd, xb)
+    want = jax.vmap(lambda x: aggregate_segment(g, x))(xb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    x = xb[0]
+    f = lambda xx: jnp.sum(jnp.sin(spmm_sliding_dense(sd, xx)))
+    fr = lambda xx: jnp.sum(jnp.sin(aggregate_segment(g, xx)))
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(x)), np.asarray(jax.grad(fr)(x)), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_spmm_sliding_dense_larger_mesh():
+    # Bigger mesh exercises nontrivial deltas and ring wraparound.
+    from gwen_tpu.graph import to_sliding_dense
+    from gwen_tpu.ops.spmm_pallas import spmm_sliding_dense
+
+    g, _, n = _mesh_graph(levels=3)
+    sd = to_sliding_dense(g, block_size=32)
+    assert sd.max_delta_blocks >= 1
+    x = jnp.asarray(np.random.default_rng(12).normal(size=(n, 16)).astype(np.float32))
+    got = spmm_sliding_dense(sd, x)
+    want = aggregate_segment(g, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
