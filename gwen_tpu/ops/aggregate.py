@@ -101,6 +101,26 @@ def aggregate_block_tiles_reference(graph: BlockTileGraph, x: Array) -> Array:
     return out[..., :out_rows, :]
 
 
+def aggregate_windowed_dense_reference(graph: WindowedDenseGraph, x: Array) -> Array:
+    """jnp reference for the streamed-S layout (validates the v3 kernel)."""
+    n, f = x.shape[-2], x.shape[-1]
+    leading = x.shape[:-2]
+    xp = jnp.zeros(leading + (graph.num_src_rows, f), x.dtype)
+    xp = xp.at[..., :n, :].set(x)
+    bs = graph.block_size
+    nblocks = graph.num_blocks
+
+    def one_block(s_blk, start):
+        win = jax.lax.dynamic_slice_in_dim(xp, start, graph.window_size, axis=-2)
+        return jnp.einsum("bw,...wf->...bf", s_blk.astype(x.dtype), win)
+
+    s_blocks = graph.s_mat.reshape(nblocks, bs, graph.window_size)
+    outs = [one_block(s_blocks[b], graph.window_start[b]) for b in range(nblocks)]
+    out = jnp.concatenate(outs, axis=-2)
+    out_rows = n if graph.num_src_rows == graph.num_padded_nodes else graph.num_padded_nodes
+    return out[..., :out_rows, :]
+
+
 def aggregate(graph, x: Array, backend: str = "auto") -> Array:
     """Dispatch aggregation by graph container type / requested backend."""
     # Late import: parallel depends on ops for local aggregation.

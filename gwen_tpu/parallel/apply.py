@@ -36,14 +36,16 @@ def make_partitioned_apply(
     The result is jit-compatible; batch (leading) axis is sharded over
     ``data_axis`` when present, node axis over ``graph_axis``.
     """
+    has_dense_s = pg.s_dense is not None
     tables = (
         jnp.asarray(pg.nbr),
         jnp.asarray(pg.nbr_weight),
         jnp.asarray(pg.window_start),
-    )
+    ) + ((jnp.asarray(pg.s_dense),) if has_dense_s else ())
     max_edges = int(pg.edges_per_part.max()) if pg.num_parts else 0
 
-    def local_apply(nbr_p, nbr_w_p, wstart_p, params, x):
+    def local_apply(nbr_p, nbr_w_p, wstart_p, *rest):
+        *s_p, params, x = rest
         hg = HaloGraph(
             nbr=nbr_p[0],
             nbr_weight=nbr_w_p[0],
@@ -54,6 +56,7 @@ def make_partitioned_apply(
             block_size=pg.block_size,
             window_size=pg.window_size,
             num_edges=max_edges,
+            s_mat=s_p[0][0] if s_p else None,
         )
         return model.apply(params, hg, x)
 
@@ -69,10 +72,11 @@ def make_partitioned_apply(
         jit boundary as arguments (mesh-scale-safe; defaults to the captured
         tables, fine for small graphs)."""
         t = tables if tables_arg is None else tables_arg
+        table_specs = tuple(P(graph_axis) for _ in t)
         mapped = jax.shard_map(
             local_apply,
             mesh=mesh,
-            in_specs=(P(graph_axis), P(graph_axis), P(graph_axis), P(), x_spec(x.ndim)),
+            in_specs=table_specs + (P(), x_spec(x.ndim)),
             out_specs=x_spec(x.ndim),
             check_vma=False,
         )

@@ -40,6 +40,9 @@ class HaloGraph:
     block_size: int = struct.field(pytree_node=False)
     window_size: int = struct.field(pytree_node=False)
     num_edges: int = struct.field(pytree_node=False)
+    # Optional dense scatter matrix (n_local, window) for the streamed-S
+    # local kernel; None -> blocked-ELL path.
+    s_mat: "Array | None" = None
 
     @property
     def num_nodes(self) -> int:  # model-facing row count per device
@@ -88,13 +91,32 @@ def aggregate_halo(graph: HaloGraph, x: Array, backend: str = "auto") -> Array:
     if x.shape[-2] != graph.n_local:
         raise ValueError(f"x has {x.shape[-2]} rows, partition has {graph.n_local}")
     x_ext = halo_exchange(x, graph.halo, graph.axis_name)
-    bell = graph.local_block_ell()
-    if backend in ("auto", "pallas") and jax.default_backend() == "tpu":
+    on_tpu = jax.default_backend() == "tpu"
+    if graph.s_mat is not None:
+        from gwen_tpu.graph.graph import WindowedDenseGraph
+
+        wd = WindowedDenseGraph(
+            s_mat=graph.s_mat,
+            window_start=graph.window_start,
+            num_nodes=graph.n_local,
+            num_edges=graph.num_edges,
+            block_size=graph.block_size,
+            num_src_rows=graph.ext_rows,
+        )
+        if backend in ("auto", "pallas"):
+            from gwen_tpu.ops.spmm_pallas import spmm_windowed_dense
+
+            out = spmm_windowed_dense(wd, x_ext)
+        else:
+            from gwen_tpu.ops.aggregate import aggregate_windowed_dense_reference
+
+            out = aggregate_windowed_dense_reference(wd, x_ext)
+    elif backend in ("auto", "pallas") and on_tpu:
         from gwen_tpu.ops.spmm_pallas import spmm_block_ell
 
-        out = spmm_block_ell(bell, x_ext)
+        out = spmm_block_ell(graph.local_block_ell(), x_ext)
     else:
         from gwen_tpu.ops.aggregate import aggregate_block_ell_reference
 
-        out = aggregate_block_ell_reference(bell, x_ext)
+        out = aggregate_block_ell_reference(graph.local_block_ell(), x_ext)
     return out[..., : graph.n_local, :]

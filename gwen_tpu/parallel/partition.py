@@ -35,6 +35,7 @@ class PartitionedGraph:
     nbr: np.ndarray  # (P, n_local, D) int32, ext-space window-relative
     nbr_weight: np.ndarray  # (P, n_local, D) float32
     window_start: np.ndarray  # (P, n_local // block) int32 into ext space
+    s_dense: "np.ndarray | None"  # (P, n_local, window) dense scatter matrices
     perm: np.ndarray  # new i = old perm[i]
     inv_perm: np.ndarray
     num_parts: int
@@ -78,6 +79,7 @@ def partition_graph(
     self_loops: bool = True,
     reorder: bool = True,
     halo: int | None = None,
+    dense_s: bool = False,
 ) -> PartitionedGraph:
     """Partition a (symmetric) graph into ``num_parts`` contiguous chunks."""
     senders = np.asarray(senders, np.int64)
@@ -141,10 +143,22 @@ def partition_graph(
         wss.append(ws)
         counts.append(len(wp))
 
+    s_dense = None
+    if dense_s:
+        # Per-partition dense scatter matrices for the streamed-S local
+        # kernel (gwen_tpu.ops.spmm_pallas.spmm_windowed_dense).
+        s_dense = np.zeros((num_parts, n_local, window), np.float32)
+        rows = np.repeat(np.arange(n_local), max_deg)
+        for p in range(num_parts):
+            np.add.at(
+                s_dense[p], (rows, nbrs[p].ravel()), nws[p].ravel()
+            )
+
     return PartitionedGraph(
         nbr=np.stack(nbrs),
         nbr_weight=np.stack(nws),
         window_start=np.stack(wss),
+        s_dense=s_dense,
         perm=perm,
         inv_perm=inv,
         num_parts=num_parts,

@@ -117,3 +117,43 @@ def cnn_loss_fn(model, loss: str = "l1", spatial_mask=None) -> Callable:
         return value, preds
 
     return loss_fn
+
+
+def ensemble_crps_loss_fn(
+    model,
+    num_members: int = 4,
+    sigma: float = 0.05,
+    smoothing_steps: int = 2,
+    spread_weight: float = 0.0,
+) -> Callable:
+    """Probabilistic mesh training: minimize the *fair ensemble CRPS* of K
+    perturbed forecasts (north-star extension; the reference's CRPSLoss is a
+    Gaussian-surrogate on existing members, loss_functions.py:41-73).
+
+    Context-aware: ``loss_fn(params, (x, y, key), graph)``. For each sample,
+    K graph-correlated perturbations of the input state are forecast one step
+    and scored against the target with fair CRPS — directly optimizing
+    ensemble skill instead of a deterministic L2.
+    """
+    import jax
+
+    from gwen_tpu import ensemble, losses
+
+    def loss_fn(params, batch, graph):
+        x, y, key = batch  # x, y: (B, N, C); key: jax PRNG key array
+        b = x.shape[0]
+        keys = jax.random.split(key, b)
+        xs = jax.vmap(lambda xi, ki: ensemble.sample_perturbed_members(
+            ki, xi, num_members, sigma, graph=None))(x, keys)  # (B, K, N, C)
+        xs = xs.reshape((b * num_members,) + x.shape[1:])
+        preds = model.apply(params, graph, xs)
+        preds = preds.reshape((b, num_members) + y.shape[1:])  # (B, K, N, C)
+        crps = losses.crps_ensemble(preds, y, ensemble_axis=1, fair=True)
+        value = crps
+        if spread_weight:
+            spread = jnp.sqrt(jnp.mean(jnp.var(preds, axis=1)) + 1e-12)
+            value = value - spread_weight * spread
+        # Report the deterministic ensemble mean as preds.
+        return value, jnp.mean(preds, axis=1)
+
+    return loss_fn

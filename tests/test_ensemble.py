@@ -131,3 +131,35 @@ def test_mesh_training_improves_skill():
     assert np.isfinite(skill_trained["crps"])
     assert skill_trained["crps"] < skill_untrained["crps"]
     assert skill_trained["rmse_ensemble_mean"] < skill_untrained["rmse_ensemble_mean"]
+
+
+def test_ensemble_crps_training_beats_init():
+    """CRPS-trained model improves fair-CRPS skill over its init."""
+    import optax
+
+    from gwen_tpu.data.dataset import MeshEnsembleDataset
+    from gwen_tpu.train import Trainer, TrainState
+    from gwen_tpu.train.tasks import ensemble_crps_loss_fn
+
+    fields, g = _setup(levels=2, members=3, steps=10)
+    ch = fields.shape[-1]
+    ds = MeshEnsembleDataset(fields=fields[:, :2])
+    model = EncodeProcessDecode(
+        channels_in=ch, channels_out=ch, latent_size=16, process_steps=1,
+        backend="segment",
+    )
+    params = model.init(jax.random.key(0))
+    opt = optax.adam(3e-3)
+    trainer = Trainer(
+        loss_fn=ensemble_crps_loss_fn(model, num_members=3, sigma=0.05),
+        optimizer=opt, context=g,
+    )
+    state = TrainState.create(params, opt)
+
+    def batches(ep):
+        for i, (x, y) in enumerate(ds.batches(4, shuffle=True, seed=ep)):
+            yield (x, y, jax.random.key(ep * 1000 + i))
+
+    state, l0 = trainer.fit(state, batches, epochs=1)
+    state, l1 = trainer.fit(state, batches, epochs=10)
+    assert l1 < l0  # CRPS decreased

@@ -132,3 +132,29 @@ def test_partitioned_gradients():
     gg = jax.jit(jax.grad(loss_global))(params)
     for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gg)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_partitioned_dense_s_matches_global():
+    """Streamed-S local aggregation inside shard_map == global model."""
+    verts, s, r = icosphere_edges(3)
+    n = verts.shape[0]
+    num_parts = 2
+    pg = partition_graph(s, r, n, num_parts=num_parts, block_size=32, dense_s=True)
+    assert pg.s_dense is not None
+    g_ref, perm = _global_reference_graph(s, r, n)
+
+    model = EncodeProcessDecode(
+        channels_in=8, channels_out=8, latent_size=16, process_steps=2,
+        backend="segment",
+    )
+    params = model.init(jax.random.key(0))
+    dp = len(jax.devices()) // num_parts
+    x = np.random.default_rng(4).normal(size=(dp, n, 8)).astype(np.float32)
+    want = np.asarray(model.apply(params, g_ref, jnp.asarray(np.take(x, perm, axis=1))))
+
+    mesh = make_mesh(data=dp, graph=num_parts)
+    apply = make_partitioned_apply(model, pg, mesh)
+    assert len(apply.tables) == 4
+    xp = jnp.asarray(pg.pad_nodes(x))
+    got = np.asarray(jax.jit(apply)(params, xp))[:, :n, :]
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
