@@ -84,9 +84,8 @@ def main() -> None:
 
     g_coo, g_bell, n = _build(levels)
     edges = g_coo.num_edges  # includes self loops
-    x32 = jnp.asarray(
-        np.random.default_rng(0).normal(size=(n, feats)).astype(np.float32)
-    )
+    # Generate on device — host->device transfers are slow in this env.
+    x32 = jax.random.normal(jax.random.key(0), (n, feats), jnp.float32)
     x = x32.astype(dtype)
 
     from gwen_tpu.graph import to_windowed_dense

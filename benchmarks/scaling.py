@@ -57,7 +57,9 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
     wd_bytes = ((n + 127) // 128 * 128) * 2  # per window column, bf16
     be = to_block_ell(g)
     s_mat_bytes = be.num_padded_nodes * be.window_size * 2
-    if s_mat_bytes < 4 * 2**30:
+    # Threshold reflects placement cost too (host->device transfer of S);
+    # above it, the memory-light ELL kernel wins on wall-clock setup.
+    if s_mat_bytes < int(1.5 * 2**30):
         graph = to_windowed_dense(g)
         graph = graph.replace(s_mat=graph.s_mat.astype(jnp.bfloat16))
         kernel = "sdense"
@@ -74,7 +76,8 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
     state = TrainState.create(params, opt)
 
     shape = (batch, n, feats) if batch > 1 else (n, feats)
-    x = jnp.asarray(np.random.default_rng(0).normal(size=shape).astype(np.float32))
+    # Generate on device — host->device transfers are slow in this env.
+    x = jax.random.normal(jax.random.key(0), shape, jnp.float32)
     y = x * 0.9
 
     fwd = jax.jit(lambda p, gr, v: model.apply(p, gr, v))

@@ -58,7 +58,16 @@ def main(config: GwenConfig, animate: bool = True, out_dir: str = "output") -> d
     if not tcfg.retrain:
         params, _ = registry.load_best_model(experiment, params_template=params)
 
-    opt = optax.adam(tcfg.lr * 100.0)  # reference: lr*100, train_cnn.py:82
+    from gwen_tpu.train.optim import make_optimizer
+
+    opt = make_optimizer(
+        tcfg.lr * 100.0,
+        weight_decay=tcfg.weight_decay,
+        scheduler=tcfg.scheduler,
+        warmup_steps=tcfg.warmup_steps,
+        cycle_steps=tcfg.cycle_steps,
+        grad_clip=tcfg.grad_clip,
+    )
     state = TrainState.create(params, opt)
 
     n_dev = len(jax.devices())

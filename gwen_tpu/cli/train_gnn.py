@@ -69,7 +69,16 @@ def main(config: GwenConfig, animate: bool = True, out_dir: str = "output") -> d
         params, _ = registry.load_best_model(experiment, params_template=params)
         log.info("loaded best model from registry (retrain=false)")
 
-    opt = optax.adam(tcfg.lr * tcfg.lr_multiplier)  # reference: lr*10, train_gnn.py:111
+    from gwen_tpu.train.optim import make_optimizer
+
+    opt = make_optimizer(
+        tcfg.lr * tcfg.lr_multiplier,
+        weight_decay=tcfg.weight_decay,
+        scheduler=tcfg.scheduler,
+        warmup_steps=tcfg.warmup_steps,
+        cycle_steps=tcfg.cycle_steps,
+        grad_clip=tcfg.grad_clip,
+    )
     state = TrainState.create(params, opt)
 
     n_dev = len(jax.devices())
@@ -89,7 +98,10 @@ def main(config: GwenConfig, animate: bool = True, out_dir: str = "output") -> d
     if tcfg.retrain:
         batches = lambda ep: (  # noqa: E731
             {"x": x, "mask": m}
-            for x, m in ds.batches(tcfg.batch_size, shuffle=True, seed=ep)
+            for x, m in ds.batches(
+                tcfg.batch_size, shuffle=True, seed=ep,
+                node_batch_size=tcfg.node_batch_size,
+            )
         )
         state, best = trainer.fit(
             state, batches, tcfg.epochs, checkpoint_every=tcfg.checkpoint_every

@@ -24,7 +24,6 @@ log = get_logger()
 def main(config: GwenConfig, members: int = 4, steps: int = 16) -> dict:
     import jax
     import jax.numpy as jnp
-    import optax
 
     from gwen_tpu import ensemble
     from gwen_tpu.data.dataset import MeshEnsembleDataset
@@ -37,8 +36,7 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16) -> dict:
     )
     from gwen_tpu.nn import EncodeProcessDecode
     from gwen_tpu.parallel import make_partitioned_apply, partition_graph
-    from gwen_tpu.profiling import StepTimer
-    from gwen_tpu.train import Trainer, TrainState, make_mesh, mesh_loss_fn
+    from gwen_tpu.train import Trainer, TrainState, make_mesh
     from gwen_tpu.train.checkpoint import Checkpointer
 
     setup_logger()
@@ -53,8 +51,6 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16) -> dict:
     s2, r2, _ = apply_order(perm, s, r)
     fields = np.take(fields, perm, axis=2)
     ch = fields.shape[-1]
-
-    import jax.numpy as jnp
 
     compute_dtype = (
         jnp.bfloat16 if config.model.compute_dtype == "bfloat16" else jnp.float32
@@ -76,7 +72,7 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16) -> dict:
 
     # Graph tables travel through the jitted steps as the Trainer *context*
     # (arguments, not closed-over constants — mandatory at mesh scale).
-    from gwen_tpu.train.tasks import mesh_graph_loss_fn, mesh_loss_fn
+    from gwen_tpu.train.tasks import mesh_graph_loss_fn
 
     if use_partition:
         mesh = make_mesh(data=n_dev // graph_parts, graph=graph_parts)
@@ -89,8 +85,6 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16) -> dict:
         def loss_fn(params, batch, tables):
             x, y = batch
             preds = apply_fn(params, x, tables)
-            import jax.numpy as jnp
-
             return jnp.mean((preds - y) ** 2), preds
     else:
         mesh = None
@@ -109,7 +103,16 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16) -> dict:
     # Train on all members except the last (held out for skill verification).
     ds = MeshEnsembleDataset(fields=fields[:, :-1])
     params = model.init(jax.random.key(tcfg.seed))
-    opt = optax.adam(tcfg.lr * tcfg.lr_multiplier)
+    from gwen_tpu.train.optim import make_optimizer
+
+    opt = make_optimizer(
+        tcfg.lr * tcfg.lr_multiplier,
+        weight_decay=tcfg.weight_decay,
+        scheduler=tcfg.scheduler,
+        warmup_steps=tcfg.warmup_steps,
+        cycle_steps=tcfg.cycle_steps,
+        grad_clip=tcfg.grad_clip,
+    )
     state = TrainState.create(params, opt)
 
     registry = Registry(config.run.registry_root)
@@ -120,11 +123,10 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16) -> dict:
         max_to_keep=tcfg.max_checkpoints,
     )
     trainer = Trainer(
-        loss_fn=mesh_loss_fn(apply_fn), optimizer=opt, mesh=mesh,
+        loss_fn=loss_fn, optimizer=opt, mesh=mesh, context=context,
         run=run, checkpointer=ckpt, log_every=tcfg.log_every,
     )
 
-    timer = StepTimer(edges_per_step=len(s) * tcfg.batch_size)
     batches = lambda ep: ds.batches(tcfg.batch_size, shuffle=True, seed=ep)  # noqa: E731
     state, best = trainer.fit(
         state, batches, tcfg.epochs, checkpoint_every=tcfg.checkpoint_every

@@ -112,6 +112,10 @@ class UNetModelConfig:
 @dataclass
 class TrainConfig:
     batch_size: int = 21  # reference: models_gnn.py:54 (member-nodes per batch)
+    # Reference NeighborLoader semantics: restrict the loss to a random
+    # subset of member-nodes per step (0 = off; time-batching is the default
+    # TPU-friendly scheme).
+    node_batch_size: int = 0
     epochs: int = 1  # reference: config.json:7
     lr: float = 1e-5  # reference base LR, config.json:10 (GNN uses lr*10)
     lr_multiplier: float = 10.0  # train_gnn.py:111
@@ -123,6 +127,12 @@ class TrainConfig:
     simplify: bool = False  # 1-in/1-out member mode (utils.py:92-100)
     loss: str = "l1-masked"  # "l1-masked" | "crps" | "ensemble-var-reg"
     var_reg_alpha: float = 0.1  # loss_functions.py:95
+    # LR schedule (reference's CyclicLR is disabled with a DDP bug note,
+    # train_gnn.py:112-119; these are pure step functions and just work).
+    scheduler: str = "none"  # "none" | "cosine" | "cyclic"
+    warmup_steps: int = 0
+    cycle_steps: int = 2000
+    grad_clip: float = 0.0
     # Checkpointing (extension; reference only logs the best epoch to MLflow).
     checkpoint_every: int = 0  # steps; 0 = per-epoch best only
     max_checkpoints: int = 3

@@ -97,18 +97,40 @@ class MemberGraphDataset:
             x[self.target_mask] = 0.0
         return x
 
-    def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0):
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        node_batch_size: int = 0,
+    ):
         """Yield (x, target_mask) batches over time steps, each
         ``(batch, members, features)``; the last partial batch is dropped so
-        shapes stay static under jit."""
+        shapes stay static under jit.
+
+        ``node_batch_size > 0`` reproduces the reference's NeighborLoader
+        semantics (models_gnn.py:351-356, batch_size=21 member-nodes): on the
+        fully-connected member graph a 2-hop neighborhood of any seed set is
+        the whole graph, so it reduces to a full forward with the loss
+        restricted to a random node subset — the yielded mask is
+        ``target_mask ∧ sampled-nodes``.
+        """
         t = len(self)
         order = np.arange(t)
+        rng = np.random.default_rng(seed)
         if shuffle:
-            np.random.default_rng(seed).shuffle(order)
+            rng.shuffle(order)
         for start in range(0, t - batch_size + 1, batch_size):
             idx = order[start : start + batch_size]
             x = np.stack([self.features(i) for i in idx])
-            yield x, self.target_mask
+            mask = self.target_mask
+            if node_batch_size and node_batch_size < self.num_nodes:
+                sampled = np.zeros(self.num_nodes, bool)
+                sampled[rng.choice(self.num_nodes, node_batch_size, replace=False)] = True
+                if not (mask & sampled).any():  # keep at least one target node
+                    sampled[rng.choice(np.nonzero(mask)[0])] = True
+                mask = mask & sampled
+            yield x, mask
 
 
 @dataclass

@@ -83,32 +83,30 @@ def refine_triangulation(
     verts: np.ndarray, faces: np.ndarray, levels: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Loop-subdivide a spherical triangulation ``levels`` times (ICON-style
-    icosahedral refinement: each triangle splits into 4, midpoints projected to
-    the sphere). Nodes at level L: 10·4^L + 2."""
+    icosahedral refinement: each triangle splits into 4, midpoints projected
+    to the sphere). Nodes at level L: 10·4^L + 2. Fully vectorized (numpy) —
+    multi-million-node meshes build in seconds."""
     for _ in range(levels):
-        edge_mid: dict[tuple[int, int], int] = {}
-        new_verts = [verts]
-        next_id = len(verts)
-
-        def midpoint(a: int, b: int) -> int:
-            nonlocal next_id
-            key = (a, b) if a < b else (b, a)
-            if key not in edge_mid:
-                m = verts[a] + verts[b]
-                m = m / np.linalg.norm(m)
-                new_verts.append(m[None, :])
-                edge_mid[key] = next_id
-                next_id += 1
-            return edge_mid[key]
-
-        new_faces = np.empty((len(faces) * 4, 3), np.int64)
-        for i, (a, b, c) in enumerate(faces):
-            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
-            new_faces[4 * i : 4 * i + 4] = [
-                [a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca],
+        nf = len(faces)
+        # All face edges, deduplicated: midpoint ids are shared per edge.
+        e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+        uniq, inv = np.unique(np.sort(e, axis=1), axis=0, return_inverse=True)
+        mids = verts[uniq[:, 0]] + verts[uniq[:, 1]]
+        mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+        mid_ids = len(verts) + np.arange(len(uniq), dtype=np.int64)
+        ab = mid_ids[inv[:nf]]
+        bc = mid_ids[inv[nf : 2 * nf]]
+        ca = mid_ids[inv[2 * nf :]]
+        a, b, c = faces[:, 0], faces[:, 1], faces[:, 2]
+        faces = np.concatenate(
+            [
+                np.stack([a, ab, ca], axis=1),
+                np.stack([b, bc, ab], axis=1),
+                np.stack([c, ca, bc], axis=1),
+                np.stack([ab, bc, ca], axis=1),
             ]
-        verts = np.concatenate(new_verts, axis=0)
-        faces = new_faces
+        )
+        verts = np.concatenate([verts, mids], axis=0)
     return verts, faces
 
 

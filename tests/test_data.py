@@ -201,3 +201,13 @@ def test_multihost_helpers_single_process(tmp_path):
     garr = multihost.global_sharded_array(batch, mesh, P("data"))
     assert garr.shape == (ndev * 2, 6, 3)
     np.testing.assert_array_equal(multihost.all_gather_from_hosts(data), data)
+
+
+def test_member_graph_node_batching():
+    """NeighborLoader-parity node batching (models_gnn.py:351-356)."""
+    data = np.random.default_rng(0).normal(size=(4, 10, 2, 3)).astype(np.float32)
+    ds = MemberGraphDataset(data=data, member_split=6, seed=1)
+    for x, mask in ds.batches(2, node_batch_size=3, seed=0):
+        assert mask.sum() >= 1  # at least one target node kept
+        assert mask.sum() <= 3 + 1
+        assert (mask & ~ds.target_mask).sum() == 0  # subset of targets

@@ -162,3 +162,26 @@ def test_checkpoint_auto_resume(tmp_path):
     resumed, _ = trainer2.fit(fresh, _batches(ds), epochs=1, resume=True)
     assert int(resumed.step) > saved_step  # continued, not restarted
     ckpt.close()
+
+
+def test_optimizer_schedules():
+    import jax.numpy as jnp
+
+    from gwen_tpu.train.optim import make_optimizer, make_schedule
+
+    cyc = make_schedule(1e-3, "cyclic", cycle_steps=100, min_lr_factor=0.1)
+    assert abs(float(cyc(0)) - 1e-4) < 1e-9  # trough at cycle start
+    assert abs(float(cyc(50)) - 1e-3) < 1e-9  # peak mid-cycle
+    cos = make_schedule(1e-3, "cosine", total_steps=100)
+    assert float(cos(0)) > float(cos(99))
+
+    ds = _dataset(t=4)
+    for sched in ("cyclic", "cosine"):
+        model = GCNStack(channels_in=H * C, channels_out=H * C, hidden_feats=8)
+        graph = _graph()
+        opt = make_optimizer(1e-3, scheduler=sched, total_steps=50,
+                             cycle_steps=8, grad_clip=1.0)
+        trainer = Trainer(loss_fn=gnn_loss_fn(model, graph), optimizer=opt)
+        state = TrainState.create(model.init(jax.random.key(0)), opt)
+        state, loss = trainer.fit(state, _batches(ds), epochs=2)
+        assert np.isfinite(loss)
