@@ -213,6 +213,12 @@ class Trainer:
             loss, pred = self._eval_step(params, batch, self.context)
             losses.append(float(loss))
             if collect_preds:
+                if jax.process_count() > 1:
+                    # Cross-host gather (replaces dist.all_gather + rank
+                    # reorder, models_gnn.py:470-471).
+                    from jax.experimental import multihost_utils
+
+                    pred = multihost_utils.process_allgather(pred)
                 preds.append(np.asarray(jax.device_get(pred)))
         mean_loss = float(np.mean(losses)) if losses else float("nan")
         out = np.concatenate(preds, axis=0) if (collect_preds and preds) else None
