@@ -40,15 +40,21 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="gwen-tpu", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
 
-    for name in ("ingest", "preprocess", "train-gnn", "train-cnn", "train-mesh", "bench"):
+    for name in ("ingest", "preprocess", "train-gnn", "train-cnn", "train-mesh",
+                 "make-mesh-data", "bench"):
         p = sub.add_parser(name)
         _add_common(p)
         if name in ("train-gnn", "train-cnn"):
             p.add_argument("--no-animate", action="store_true")
             p.add_argument("--out-dir", default="output")
+        if name == "make-mesh-data":
+            p.add_argument("--out", required=True)
+            p.add_argument("--members", type=int, default=4)
+            p.add_argument("--steps", type=int, default=16)
         if name == "train-mesh":
             p.add_argument("--members", type=int, default=4)
             p.add_argument("--steps", type=int, default=16)
+            p.add_argument("--data", default="", help="mesh-ensemble zarr store (default: synthetic)")
 
     g = sub.add_parser("gif")
     g.add_argument("--input", required=True, help="zarr store with (time, member, height, ncells)")
@@ -81,8 +87,19 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "train-mesh":
         from gwen_tpu.cli.train_mesh import main as run
 
-        out = run(_cfg(args), members=args.members, steps=args.steps)
+        out = run(_cfg(args), members=args.members, steps=args.steps, data=args.data)
         print(json.dumps(out))
+    elif args.cmd == "make-mesh-data":
+        from gwen_tpu.data.meshstore import save_mesh_dataset
+        from gwen_tpu.data.synthetic import mesh_ensemble_dataset
+
+        cfg = _cfg(args)
+        fields, verts, s, r = mesh_ensemble_dataset(
+            levels=cfg.graph.refine, members=args.members, steps=args.steps,
+            seed=cfg.train.seed,
+        )
+        path = save_mesh_dataset(args.out, fields, s, r, verts)
+        print(json.dumps({"path": str(path), "fields": list(fields.shape)}))
     elif args.cmd == "bench":
         import runpy
         from pathlib import Path

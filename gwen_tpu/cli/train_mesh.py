@@ -21,7 +21,7 @@ from gwen_tpu.registry import Registry, default_experiment
 log = get_logger()
 
 
-def main(config: GwenConfig, members: int = 4, steps: int = 16) -> dict:
+def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -43,10 +43,16 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16) -> dict:
     tcfg = config.train
     levels = config.graph.refine
 
-    fields, verts, s, r = mesh_ensemble_dataset(
-        levels=levels, members=members, steps=steps, seed=tcfg.seed
-    )
-    n = verts.shape[0]
+    if data:
+        from gwen_tpu.data.meshstore import load_mesh_dataset
+
+        fields, s, r, verts, _meta = load_mesh_dataset(data)
+        members = fields.shape[1]
+    else:
+        fields, verts, s, r = mesh_ensemble_dataset(
+            levels=levels, members=members, steps=steps, seed=tcfg.seed
+        )
+    n = fields.shape[2]
     perm = rcm_order(s, r, n)
     s2, r2, _ = apply_order(perm, s, r)
     fields = np.take(fields, perm, axis=2)

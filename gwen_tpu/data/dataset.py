@@ -210,6 +210,25 @@ class MeshEnsembleDataset:
             y = self.fields[idx[:, 0] + 1, idx[:, 1]]
             yield x, y
 
+    def trajectory_batches(
+        self, batch_size: int, horizon: int, shuffle: bool = False, seed: int = 0
+    ):
+        """(x0, traj) batches for rollout-horizon training: traj is
+        ``(batch, horizon, nodes, channels)`` — the next ``horizon`` states."""
+        t, m = self.fields.shape[:2]
+        starts = [(ti, mi) for mi in range(m) for ti in range(t - horizon)]
+        starts = np.asarray(starts)
+        order = np.arange(len(starts))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for s0 in range(0, len(order) - batch_size + 1, batch_size):
+            idx = starts[order[s0 : s0 + batch_size]]
+            x0 = self.fields[idx[:, 0], idx[:, 1]]
+            traj = np.stack(
+                [self.fields[ti + 1 : ti + 1 + horizon, mi] for ti, mi in idx]
+            )
+            yield x0, traj
+
 
 def make_datasets(
     data_cfg: DataConfig, train_cfg: TrainConfig, kind: str = "graph"

@@ -157,3 +157,31 @@ def ensemble_crps_loss_fn(
         return value, jnp.mean(preds, axis=1)
 
     return loss_fn
+
+
+def rollout_loss_fn(model, horizon: int, loss: str = "mse") -> Callable:
+    """Multi-step (rollout-horizon) training: autoregress ``horizon`` steps
+    and penalize the whole trajectory — curbs the error accumulation that
+    single-step training leaves unconstrained (GraphCast-style curriculum).
+
+    Context-aware: ``loss_fn(params, (x0, traj), graph)`` with ``traj``
+    shaped ``(B, horizon, N, C)``.
+    """
+    import jax
+
+    def loss_fn(params, batch, graph):
+        x0, traj = batch
+
+        def step(carry, _):
+            nxt = model.apply(params, graph, carry)
+            return nxt, nxt
+
+        _, preds = jax.lax.scan(step, x0, None, length=horizon)  # (H, B, N, C)
+        preds = jnp.moveaxis(preds, 0, 1)
+        if loss == "mse":
+            value = jnp.mean((preds - traj) ** 2)
+        else:
+            value = jnp.mean(jnp.abs(preds - traj))
+        return value, preds
+
+    return loss_fn

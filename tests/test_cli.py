@@ -98,3 +98,19 @@ def test_cli_train_cnn(workdir, capsys):
     )
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(out["test_loss"])
+
+
+def test_cli_mesh_data_roundtrip(tmp_path, capsys):
+    """make-mesh-data → train-mesh --data on CPU."""
+    assert cli(["make-mesh-data", "--out", str(tmp_path / "m.zarr"),
+                "--members", "3", "--steps", "6", "graph.refine=2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["fields"][1] == 3
+
+    assert cli(["train-mesh", "--data", str(tmp_path / "m.zarr"),
+                "model.latent_size=8", "model.process_steps=1",
+                "train.epochs=1", "train.batch_size=4", "train.lr=1e-3",
+                f"run.registry_root={tmp_path / 'runs'}"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["best_train_loss"])
+    assert out["nodes"] == 162  # 10*4^2+2

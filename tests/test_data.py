@@ -211,3 +211,15 @@ def test_member_graph_node_batching():
         assert mask.sum() >= 1  # at least one target node kept
         assert mask.sum() <= 3 + 1
         assert (mask & ~ds.target_mask).sum() == 0  # subset of targets
+
+
+def test_meshstore_roundtrip(tmp_path):
+    from gwen_tpu.data.meshstore import load_mesh_dataset, save_mesh_dataset
+    from gwen_tpu.data.synthetic import mesh_ensemble_dataset
+
+    fields, verts, s, r = mesh_ensemble_dataset(levels=2, members=2, steps=4)
+    p = save_mesh_dataset(tmp_path / "mesh.zarr", fields, s, r, verts)
+    f2, s2, r2, v2, meta = load_mesh_dataset(p)
+    np.testing.assert_allclose(f2, fields, rtol=1e-6)
+    np.testing.assert_array_equal(s2, s)
+    assert meta["kind"] == "mesh-ensemble"

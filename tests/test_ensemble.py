@@ -163,3 +163,38 @@ def test_ensemble_crps_training_beats_init():
     state, l0 = trainer.fit(state, batches, epochs=1)
     state, l1 = trainer.fit(state, batches, epochs=10)
     assert l1 < l0  # CRPS decreased
+
+
+def test_rollout_training_and_sigma_calibration():
+    import optax
+
+    from gwen_tpu.data.dataset import MeshEnsembleDataset
+    from gwen_tpu.train import Trainer, TrainState
+    from gwen_tpu.train.tasks import rollout_loss_fn
+
+    fields, g = _setup(levels=2, members=3, steps=10)
+    ch = fields.shape[-1]
+    ds = MeshEnsembleDataset(fields=fields[:, :2])
+    model = EncodeProcessDecode(
+        channels_in=ch, channels_out=ch, latent_size=16, process_steps=1,
+        backend="segment",
+    )
+    params = model.init(jax.random.key(0))
+    opt = optax.adam(3e-3)
+    horizon = 3
+    trainer = Trainer(
+        loss_fn=rollout_loss_fn(model, horizon), optimizer=opt, context=g
+    )
+    state = TrainState.create(params, opt)
+    batches = lambda ep: ds.trajectory_batches(4, horizon, shuffle=True, seed=ep)  # noqa: E731
+    state, l0 = trainer.fit(state, batches, epochs=1)
+    state, l1 = trainer.fit(state, batches, epochs=8)
+    assert l1 < l0
+
+    cal = ensemble.calibrate_sigma(
+        model, state.params, g, fields[:, 2:], jax.random.key(5),
+        sigmas=(0.01, 0.1), num_members=3, horizon=3,
+    )
+    assert cal["best_sigma"] in (0.01, 0.1)
+    assert len(cal["table"]) == 2
+    assert all(np.isfinite(row["crps"]) for row in cal["table"])
