@@ -47,16 +47,22 @@ def _build(levels: int):
     return g, to_block_ell(g), n
 
 
-def _time(fn, x, iters: int) -> float:
+def _time(fn, x, iters: int, repeats: int = 3) -> float:
+    """Median of ``repeats`` timed runs (tunnel dispatch adds 20-30% jitter
+    at millisecond scales; the median is stable)."""
     import jax
 
     out = fn(x)
     jax.block_until_ready(out)  # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(x)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(x)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / iters)
+    times.sort()
+    return times[len(times) // 2]
 
 
 def main() -> None:

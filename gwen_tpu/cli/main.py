@@ -56,6 +56,10 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--steps", type=int, default=16)
             p.add_argument("--data", default="", help="mesh-ensemble zarr store (default: synthetic)")
 
+    rns = sub.add_parser("runs")
+    rns.add_argument("--experiment", default=None, help="default: all experiments")
+    rns.add_argument("--root", default="runs")
+
     g = sub.add_parser("gif")
     g.add_argument("--input", required=True, help="zarr store with (time, member, height, ncells)")
     g.add_argument("--var", default="theta_v")
@@ -106,6 +110,28 @@ def main(argv: list[str] | None = None) -> int:
 
         bench = Path(__file__).resolve().parents[2] / "bench.py"
         runpy.run_path(str(bench), run_name="__main__")
+    elif args.cmd == "runs":
+        from pathlib import Path
+
+        from gwen_tpu.registry import Registry
+
+        reg = Registry(args.root)
+        exps = ([args.experiment] if args.experiment
+                else sorted(p.name for p in Path(args.root).iterdir() if p.is_dir())
+                if Path(args.root).exists() else [])
+        rows = []
+        for exp in exps:
+            if exp == "checkpoints":
+                continue
+            for r in reg.get_runs(exp, with_artifacts_only=False):
+                meta = r.meta
+                rows.append({
+                    "experiment": exp,
+                    "run_id": r.run_id,
+                    "status": meta.get("status"),
+                    "best_metric": meta.get("best_metric"),
+                })
+        print(json.dumps(rows, indent=2))
     elif args.cmd == "gif":
         import numpy as np
 

@@ -103,7 +103,20 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
         else:
             graph = g
         context = graph
-        loss_fn = mesh_graph_loss_fn(model)
+        if tcfg.rollout_horizon > 1:
+            from gwen_tpu.train.tasks import rollout_loss_fn
+
+            loss_fn = rollout_loss_fn(model, tcfg.rollout_horizon)
+        elif tcfg.loss == "crps-ensemble":
+            from gwen_tpu.train.tasks import ensemble_crps_loss_fn
+
+            loss_fn = ensemble_crps_loss_fn(
+                model, num_members=tcfg.crps_members, sigma=tcfg.sigma
+            )
+        else:
+            loss_fn = mesh_graph_loss_fn(
+                model, loss=tcfg.loss if tcfg.loss in ("mse", "l1") else "mse"
+            )
         global_graph = g
 
     # Train on all members except the last (held out for skill verification).
@@ -133,7 +146,16 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
         run=run, checkpointer=ckpt, log_every=tcfg.log_every,
     )
 
-    batches = lambda ep: ds.batches(tcfg.batch_size, shuffle=True, seed=ep)  # noqa: E731
+    if not use_partition and tcfg.rollout_horizon > 1:
+        batches = lambda ep: ds.trajectory_batches(  # noqa: E731
+            tcfg.batch_size, tcfg.rollout_horizon, shuffle=True, seed=ep
+        )
+    elif not use_partition and tcfg.loss == "crps-ensemble":
+        def batches(ep):
+            for i, (x, y) in enumerate(ds.batches(tcfg.batch_size, shuffle=True, seed=ep)):
+                yield (x, y, jax.random.key(ep * 100003 + i))
+    else:
+        batches = lambda ep: ds.batches(tcfg.batch_size, shuffle=True, seed=ep)  # noqa: E731
     state, best = trainer.fit(
         state, batches, tcfg.epochs, checkpoint_every=tcfg.checkpoint_every
     )
@@ -161,9 +183,18 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
             backend="segment",
         )
     )
+    sigma = tcfg.sigma
+    if tcfg.calibrate_sigma and fields.shape[1] > 1:
+        cal = ensemble.calibrate_sigma(
+            skill_model, state.params, global_graph,
+            fields[:, :-1, :n] if use_partition else fields[:, :-1],
+            jax.random.key(11), num_members=members, horizon=horizon,
+        )
+        sigma = cal["best_sigma"]
+        run.log_metric("calibrated_sigma", sigma)
     gen = ensemble.generate_ensemble(
         skill_model, state.params, global_graph, base, jax.random.key(7),
-        num_members=members, num_steps=horizon, sigma=0.05,
+        num_members=members, num_steps=horizon, sigma=sigma,
     )
     skill = ensemble.ensemble_skill(gen, truth, ensemble_axis=0)
     for k, v in skill.items():

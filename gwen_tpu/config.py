@@ -127,6 +127,12 @@ class TrainConfig:
     simplify: bool = False  # 1-in/1-out member mode (utils.py:92-100)
     loss: str = "l1-masked"  # "l1-masked" | "crps" | "ensemble-var-reg"
     var_reg_alpha: float = 0.1  # loss_functions.py:95
+    # Mesh-task options: rollout-horizon training, CRPS-ensemble training,
+    # perturbation amplitude (with optional validation calibration).
+    rollout_horizon: int = 1
+    crps_members: int = 4
+    sigma: float = 0.05
+    calibrate_sigma: bool = False
     # LR schedule (reference's CyclicLR is disabled with a DDP bug note,
     # train_gnn.py:112-119; these are pure step functions and just work).
     scheduler: str = "none"  # "none" | "cosine" | "cyclic"
