@@ -155,5 +155,17 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def cli_entry() -> int:
+    """Console entry with friendly error reporting (no tracebacks for
+    expected failures — missing files, bad config keys)."""
+    try:
+        return main()
+    except (FileNotFoundError, KeyError, ValueError) as e:
+        print(f"gwen-tpu: error: {e}", file=sys.stderr)
+        return 2
+    except KeyboardInterrupt:
+        return 130
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(cli_entry())

@@ -126,3 +126,38 @@ def icosphere_edges(levels: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     verts, faces = refine_triangulation(verts, faces, levels)
     s, r = faces_to_edges(faces)
     return verts, s, r
+
+
+def icosphere_multilevel_edges(
+    levels: int, min_level: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """GraphCast-style multimesh: the finest icosphere's vertices with the
+    *union* of edges from every refinement level ``min_level..levels``.
+
+    Subdivision preserves vertex ids (coarse vertices are a prefix of fine
+    ones), so coarse-level edges are valid long-range edges on the fine mesh —
+    message passing mixes information across scales in one step.
+
+    Returns ``(verts, senders, receivers, edge_level)``.
+    """
+    verts, faces = icosahedron()
+    all_s, all_r, all_lv = [], [], []
+    for lv in range(levels + 1):
+        if lv >= min_level:
+            s, r = faces_to_edges(faces)
+            all_s.append(s)
+            all_r.append(r)
+            all_lv.append(np.full(len(s), lv, np.int64))
+        if lv < levels:
+            verts, faces = refine_triangulation(verts, faces, 1)
+    s = np.concatenate(all_s)
+    r = np.concatenate(all_r)
+    lv = np.concatenate(all_lv)
+    # Dedup identical (s, r) pairs across levels, keeping the finest level.
+    key = s * len(verts) + r
+    order = np.lexsort((-lv, key))
+    key_sorted = key[order]
+    keep = np.ones(len(key), bool)
+    keep[1:] = key_sorted[1:] != key_sorted[:-1]
+    sel = order[keep]
+    return verts, s[sel], r[sel], lv[sel]

@@ -33,6 +33,7 @@ from gwen_tpu.graph.graph import (
     BlockTileGraph,
     DenseGraph,
     Graph,
+    MultiLevelGraph,
     WindowedDenseGraph,
 )
 
@@ -126,6 +127,11 @@ def aggregate(graph, x: Array, backend: str = "auto") -> Array:
     # Late import: parallel depends on ops for local aggregation.
     from gwen_tpu.parallel.halo import HaloGraph, aggregate_halo
 
+    if isinstance(graph, MultiLevelGraph):
+        out = aggregate(graph.subgraphs[0], x, backend=backend)
+        for sub in graph.subgraphs[1:]:
+            out = out + aggregate(sub, x, backend=backend)
+        return out
     if isinstance(graph, DenseGraph):
         return aggregate_dense(graph, x)
     if isinstance(graph, HaloGraph):

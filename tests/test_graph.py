@@ -103,3 +103,59 @@ def test_block_ell_bandwidth_guard():
     g = build_graph(s, r, 1000)
     with pytest.raises(ValueError):
         to_block_ell(g, block_size=128, window_size=128)
+
+
+def test_multilevel_edges_union():
+    from gwen_tpu.graph import icosphere_multilevel_edges
+
+    verts, s, r, lv = icosphere_multilevel_edges(2, min_level=0)
+    assert verts.shape[0] == 162
+    # Union is strictly larger than the fine level alone, smaller than sum
+    # of levels (dedup), and symmetric.
+    _, sf, rf = icosphere_edges(2)
+    assert len(s) > len(sf)
+    assert set(zip(s, r)) == set(zip(r, s))
+    # Coarse long-range edges exist (span > fine-mesh neighborhood).
+    assert lv.min() == 0 and lv.max() == 2
+
+
+def test_multilevel_graph_matches_union_segment():
+    import jax.numpy as jnp
+
+    from gwen_tpu.graph import (
+        build_multilevel_graph,
+        icosphere_multilevel_edges,
+    )
+    from gwen_tpu.ops import aggregate, aggregate_segment
+
+    verts, s, r, lv = icosphere_multilevel_edges(2)
+    n = verts.shape[0]
+    union = build_graph(s, r, n)  # normalized over the union
+    ml = build_multilevel_graph(s, r, lv, n)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(n, 8)).astype(np.float32))
+    want = np.asarray(aggregate_segment(union, x))
+    got = np.asarray(aggregate(ml, x, backend="segment"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_multilevel_with_fine_ell_layout():
+    import jax.numpy as jnp
+
+    from gwen_tpu.graph import (
+        build_multilevel_graph,
+        icosphere_multilevel_edges,
+    )
+    from gwen_tpu.ops import aggregate, aggregate_segment
+
+    verts, s, r, lv = icosphere_multilevel_edges(3)
+    n = verts.shape[0]
+    # RCM on the FINE edges; relabel the whole union with the same perm.
+    fine = lv == lv.max()
+    perm = rcm_order(s[fine], r[fine], n)
+    s2, r2, _ = apply_order(perm, s, r)
+    union = build_graph(s2, r2, n)
+    ml = build_multilevel_graph(s2, r2, lv, n, fine_layout="ell", block_size=32)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(n, 16)).astype(np.float32))
+    want = np.asarray(aggregate_segment(union, x))
+    got = np.asarray(aggregate(ml, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
