@@ -83,6 +83,9 @@ class EncodeProcessDecode:
     compute_dtype: jnp.dtype = jnp.float32
     backend: str = "auto"
     remat: bool = False
+    # "gcn" (normalized-adjacency aggregation, MXU/Pallas paths) or
+    # "interaction" (MeshGraphNets-style edge-MLP messages; segment path).
+    processor: str = "gcn"
 
     def init(self, key) -> core.Params:
         k_enc, k_proc, k_dec = jax.random.split(key, 3)
@@ -95,20 +98,31 @@ class EncodeProcessDecode:
             "decoder": core.mlp_init(k_dec, dec_dims),
         }
         for i, k in enumerate(proc_keys):
-            params[f"process_{i}"] = {
-                "gcn": gcn_init(k, L, L),
-                "norm": core.layer_norm_init(L),
-            }
+            if self.processor == "interaction":
+                from gwen_tpu.nn.interaction import interaction_init
+
+                params[f"process_{i}"] = interaction_init(k, L, self.mlp_layers)
+            else:
+                params[f"process_{i}"] = {
+                    "gcn": gcn_init(k, L, L),
+                    "norm": core.layer_norm_init(L),
+                }
         return params
 
     def apply(self, params: core.Params, graph, x: Array) -> Array:
         h = x.astype(self.compute_dtype)
         h = core.mlp_apply(params["encoder"], h)
 
-        def step(h, p):
-            m = gcn_apply(p["gcn"], graph, jax.nn.relu(h), backend=self.backend)
-            m = core.layer_norm_apply(p["norm"], m)
-            return h + m if self.residual else m
+        if self.processor == "interaction":
+            from gwen_tpu.nn.interaction import interaction_apply
+
+            def step(h, p):
+                return interaction_apply(p, graph, jax.nn.relu(h))
+        else:
+            def step(h, p):
+                m = gcn_apply(p["gcn"], graph, jax.nn.relu(h), backend=self.backend)
+                m = core.layer_norm_apply(p["norm"], m)
+                return h + m if self.residual else m
 
         if self.remat:
             step = jax.checkpoint(step, static_argnums=())

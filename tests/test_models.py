@@ -103,3 +103,46 @@ def test_dense_graph_model_equivalence():
     a = m.apply(params, g, x)
     b = m.apply(params, dg, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_interaction_processor():
+    """MeshGraphNets-style edge-MLP processor trains and differs from GCN."""
+    import optax
+
+    from gwen_tpu.graph import build_graph, icosphere_edges
+    from gwen_tpu.nn.interaction import interaction_apply, interaction_init
+
+    verts, s, r = icosphere_edges(1)
+    n = verts.shape[0]
+    g = build_graph(s, r, n)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(n, 8)).astype(np.float32))
+
+    p = interaction_init(jax.random.key(0), 8)
+    out = interaction_apply(p, g, x)
+    assert out.shape == x.shape
+    # batched
+    xb = jnp.stack([x, x * 2])
+    outb = interaction_apply(p, g, xb)
+    assert outb.shape == xb.shape
+    np.testing.assert_allclose(np.asarray(outb[0]), np.asarray(out), rtol=1e-5)
+
+    model = EncodeProcessDecode(
+        channels_in=8, channels_out=8, latent_size=8, process_steps=2,
+        processor="interaction",
+    )
+    params = model.init(jax.random.key(1))
+    y = model.apply(params, g, x)
+    assert y.shape == x.shape
+
+    # end-to-end gradient step works
+    opt = optax.adam(1e-3)
+    st = opt.init(params)
+
+    def loss(pp):
+        return jnp.mean((model.apply(pp, g, x) - x * 0.5) ** 2)
+
+    l0 = float(loss(params))
+    grads = jax.grad(loss)(params)
+    updates, st = opt.update(grads, st, params)
+    params2 = optax.apply_updates(params, updates)
+    assert float(loss(params2)) < l0 + 1e-6
