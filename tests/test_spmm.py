@@ -188,3 +188,54 @@ def test_spmm_sliding_dense_larger_mesh():
     got = spmm_sliding_dense(sd, x)
     want = aggregate_segment(g, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------- edge cases
+
+
+def test_spmm_odd_feature_count():
+    """Features not a multiple of 128 pad and crop correctly."""
+    from gwen_tpu.ops.spmm_pallas import spmm_block_ell
+
+    g, be, n = _mesh_graph()
+    x = jnp.asarray(np.random.default_rng(20).normal(size=(n, 37)).astype(np.float32))
+    got = spmm_block_ell(be, x)
+    want = aggregate_segment(g, x)
+    assert got.shape == (n, 37)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_wide_features_f_tiling():
+    """Feature axis wider than f_blk exercises the (block, f-tile) grid."""
+    from gwen_tpu.graph import to_windowed_dense
+    from gwen_tpu.ops.spmm_pallas import spmm_windowed_dense
+
+    g, _, n = _mesh_graph()
+    wd = to_windowed_dense(g, block_size=32)
+    x = jnp.asarray(np.random.default_rng(21).normal(size=(n, 300)).astype(np.float32))
+    got = spmm_windowed_dense(wd, x, f_blk=128)
+    want = aggregate_segment(g, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_padded_row_input():
+    """x already padded to num_padded_nodes keeps padded rows in the output."""
+    from gwen_tpu.ops.spmm_pallas import spmm_block_ell
+
+    g, be, n = _mesh_graph()
+    n_pad = be.num_padded_nodes
+    x = jnp.zeros((n_pad, 16)).at[:n].set(
+        jnp.asarray(np.random.default_rng(22).normal(size=(n, 16)).astype(np.float32))
+    )
+    got = spmm_block_ell(be, x)
+    assert got.shape[0] == n_pad
+    want = aggregate_segment(g, x[:n])
+    np.testing.assert_allclose(np.asarray(got[:n]), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_wrong_rows_raises():
+    from gwen_tpu.ops.spmm_pallas import spmm_block_ell
+
+    g, be, n = _mesh_graph()
+    with np.testing.assert_raises(ValueError):
+        spmm_block_ell(be, jnp.zeros((n + 1, 8)))
