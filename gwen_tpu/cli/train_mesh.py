@@ -81,6 +81,12 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
     from gwen_tpu.train.tasks import mesh_graph_loss_fn
 
     if use_partition:
+        if tcfg.rollout_horizon > 1 or tcfg.loss == "crps-ensemble":
+            raise ValueError(
+                "rollout_horizon>1 / loss=crps-ensemble are not yet wired for "
+                "the partitioned (mesh.graph_axis>1) path — run unpartitioned "
+                "or use loss=mse/l1"
+            )
         mesh = make_mesh(data=n_dev // graph_parts, graph=graph_parts)
         pg = partition_graph(s2, r2, n, num_parts=graph_parts, reorder=False)
         apply_fn = make_partitioned_apply(model, pg, mesh)

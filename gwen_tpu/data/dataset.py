@@ -97,6 +97,10 @@ class MemberGraphDataset:
             x[self.target_mask] = 0.0
         return x
 
+    def raw_features(self, t: int) -> np.ndarray:
+        """Unmasked node features — the loss target when mask_inputs=True."""
+        return self.data[t].reshape(self.num_nodes, self.num_features)
+
     def batches(
         self,
         batch_size: int,
@@ -130,7 +134,12 @@ class MemberGraphDataset:
                 if not (mask & sampled).any():  # keep at least one target node
                     sampled[rng.choice(np.nonzero(mask)[0])] = True
                 mask = mask & sampled
-            yield x, mask
+            if self.mask_inputs:
+                # Loss must see the UNMASKED ground truth at target nodes.
+                target = np.stack([self.raw_features(i) for i in idx])
+                yield x, mask, target
+            else:
+                yield x, mask
 
 
 @dataclass

@@ -34,7 +34,7 @@ def correlated_noise(
     ``(..., nodes, channels)``; smoothing acts on the node axis."""
     eps = jax.random.normal(key, shape, dtype)
     for _ in range(smoothing_steps):
-        eps = aggregate(graph, eps, backend="segment")
+        eps = aggregate(graph, eps)
     # Restore unit variance after smoothing.
     std = jnp.std(eps, axis=(-2, -1), keepdims=True) + 1e-8
     return eps / std

@@ -288,7 +288,10 @@ def ell_tables(
     max_span = int(spans.max()) if num_blocks else 1
     if window_size is None:
         window_size = max(_round_up(max_span, block_size), block_size)
-    window_size = min(int(window_size), src_pad)
+    # Round user-supplied windows up to a block multiple — window starts must
+    # stay block-aligned (the Pallas kernels promise pl.multiple_of(block)).
+    window_size = _round_up(int(window_size), block_size)
+    window_size = min(window_size, src_pad)
     if max_span > window_size:
         raise ValueError(
             f"graph bandwidth {max_span} exceeds window_size {window_size}; "

@@ -8,9 +8,10 @@ Reference parity: ``models_cnn.py:86-460`` — ``BaseNet`` layer zoo (5 Conv2d,
 
 TPU-first deviations (documented, deliberate):
 
-* ``lax.conv_general_dilated`` / ``conv_transpose`` — XLA:TPU lowers these to
-  MXU convolutions directly; no custom kernels needed (SURVEY §2.2 row
-  "cuDNN/cuBLAS").
+* ``lax.conv_general_dilated`` with bilinear ``jax.image.resize`` upsampling
+  (resize+conv instead of ConvTranspose2d — equivalent capacity, avoids
+  checkerboard artifacts); XLA:TPU lowers convs to the MXU directly
+  (SURVEY §2.2 row "cuDNN/cuBLAS").
 * GroupNorm instead of BatchNorm2d: stateless and SPMD-friendly — BatchNorm
   needs cross-replica batch-stat sync (extra collectives every step) and
   mutable running stats; GroupNorm gives the same normalization role with
@@ -46,17 +47,6 @@ def conv_apply(p: core.Params, x: Array, stride: int = 1) -> Array:
         padding="SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=x.dtype,
-    )
-    return out + p["b"].astype(x.dtype)[None, :, None, None]
-
-
-def conv_transpose_apply(p: core.Params, x: Array, stride: int = 2) -> Array:
-    w = p["w"].astype(x.dtype)  # (c_out, c_in, k, k): transpose to rhs (IOHW→use transpose_kernel)
-    out = jax.lax.conv_transpose(
-        x, jnp.transpose(w, (2, 3, 1, 0)),  # HWIO with I=c_in, O=c_out
-        strides=(stride, stride),
-        padding="SAME",
-        dimension_numbers=("NCHW", "HWIO", "NCHW"),
     )
     return out + p["b"].astype(x.dtype)[None, :, None, None]
 
@@ -115,7 +105,7 @@ class UNet:
             skip_ch = widths[self.depth - 1 - i]
             w_out = widths[self.depth - 2 - i] if i < self.depth - 1 else self.hidden
             params[f"dec_{i}"] = {
-                "convt": conv_init(keys[self.depth + i], c + skip_ch, w_out),
+                "conv": conv_init(keys[self.depth + i], c + skip_ch, w_out),
                 "norm": group_norm_init(w_out),
             }
             c = w_out
@@ -146,7 +136,7 @@ class UNet:
             h = jax.image.resize(h, (n, c, hh * 2, ww * 2), method="bilinear")
             skip = skips[self.depth - 1 - i]  # same spatial scale as h now
             h = jnp.concatenate([h, skip.astype(h.dtype)], axis=1)
-            h = conv_apply(p["convt"], h)
+            h = conv_apply(p["conv"], h)
             h = group_norm_apply(p["norm"], h)
             h = jax.nn.relu(h)
 

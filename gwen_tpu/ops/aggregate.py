@@ -34,6 +34,7 @@ from gwen_tpu.graph.graph import (
     DenseGraph,
     Graph,
     MultiLevelGraph,
+    SlidingDenseGraph,
     WindowedDenseGraph,
 )
 
@@ -122,6 +123,31 @@ def aggregate_windowed_dense_reference(graph: WindowedDenseGraph, x: Array) -> A
     return out[..., :out_rows, :]
 
 
+def aggregate_sliding_dense_reference(graph: SlidingDenseGraph, x: Array) -> Array:
+    """jnp reference for the sliding-ring layout (validates the v4 kernel)."""
+    n, f = x.shape[-2], x.shape[-1]
+    leading = x.shape[:-2]
+    src_alloc = ((graph.num_src_rows + graph.block_size - 1)
+                 // graph.block_size) * graph.block_size
+    xp = jnp.zeros(leading + (src_alloc, f), x.dtype)
+    xp = xp.at[..., :n, :].set(x)
+    bs = graph.block_size
+    ring = graph.ring_rows
+    w = graph.window_size
+    s_blocks = graph.s_mat.reshape(graph.num_blocks, bs, ring)
+    outs = []
+    for b in range(graph.num_blocks):
+        start = graph.window_start[b]
+        win = jax.lax.dynamic_slice_in_dim(xp, start, w, axis=-2)
+        cols = (start + jnp.arange(w)) % ring  # ring-layout columns
+        s_win = jnp.take(s_blocks[b].astype(x.dtype), cols, axis=1)  # (bs, w)
+        outs.append(jnp.einsum("bw,...wf->...bf", s_win, win))
+    out = jnp.concatenate(outs, axis=-2)
+    n_pad = graph.num_padded_nodes
+    out_rows = n if graph.num_src_rows == n_pad else n_pad
+    return out[..., :out_rows, :]
+
+
 def aggregate(graph, x: Array, backend: str = "auto") -> Array:
     """Dispatch aggregation by graph container type / requested backend."""
     # Late import: parallel depends on ops for local aggregation.
@@ -137,9 +163,17 @@ def aggregate(graph, x: Array, backend: str = "auto") -> Array:
     if isinstance(graph, HaloGraph):
         return aggregate_halo(graph, x, backend=backend)
     if isinstance(graph, WindowedDenseGraph):
-        from gwen_tpu.ops.spmm_pallas import spmm_windowed_dense
+        if backend in ("auto", "pallas"):
+            from gwen_tpu.ops.spmm_pallas import spmm_windowed_dense
 
-        return spmm_windowed_dense(graph, x)
+            return spmm_windowed_dense(graph, x)
+        return aggregate_windowed_dense_reference(graph, x)
+    if isinstance(graph, SlidingDenseGraph):
+        if backend in ("auto", "pallas"):
+            from gwen_tpu.ops.spmm_pallas import spmm_sliding_dense
+
+            return spmm_sliding_dense(graph, x)
+        return aggregate_sliding_dense_reference(graph, x)
     if isinstance(graph, BlockTileGraph):
         if backend in ("auto", "pallas"):
             from gwen_tpu.ops.spmm_pallas import spmm_block_tiles

@@ -422,8 +422,10 @@ def _sdense_fwd(ws, s_mat, xp, block, window, f_blk):
 
 def _sdense_bwd(block, window, f_blk, res, g):
     ws, s_mat = res
-    gx = _sdense_impl(ws, s_mat, g.astype(g.dtype), block, window, f_blk)
-    return (None, None, gx.astype(g.dtype))
+    # Symmetric adjacency: backward reuses the forward kernel on the
+    # cotangent (same dtype as the forward output).
+    gx = _sdense_impl(ws, s_mat, g, block, window, f_blk)
+    return (None, None, gx)
 
 
 _sdense_diff.defvjp(_sdense_fwd, _sdense_bwd)

@@ -121,19 +121,24 @@ def partition_graph(
             max_deg = max(max_deg, int(np.bincount(r_rel, minlength=n_local).max()))
     max_deg = max(_round_up(max_deg, 8), 8)
 
-    # Two passes: find the max window across partitions, then rebuild with the
-    # shared window so stacked shapes are identical.
+    # Shared window across partitions: max span per 128-row destination
+    # block, computed directly from the edge lists (no table materialization).
     window = block_size
-    tables = []
-    for s_rel, r_rel, wp in per_part:
-        nbr, nw, ws, win, _ = ell_tables(
-            s_rel, r_rel, wp, num_dst=n_local, num_src=n_ext,
-            block_size=block_size, max_degree=max_deg,
-        )
-        window = max(window, win)
-        tables.append((s_rel, r_rel, wp))
+    for s_rel, r_rel, _ in per_part:
+        if not len(r_rel):
+            continue
+        nblk = n_local // block_size
+        lo = np.full(nblk, n_ext, np.int64)
+        hi = np.zeros(nblk, np.int64)
+        blk = r_rel // block_size
+        np.minimum.at(lo, blk, s_rel)
+        np.maximum.at(hi, blk, s_rel + 1)
+        lo = np.where(lo > hi, 0, (lo // block_size) * block_size)
+        span = int((hi - lo).max())
+        window = max(window, _round_up(span, block_size))
+    window = min(window, _round_up(n_ext, block_size))
     nbrs, nws, wss, counts = [], [], [], []
-    for s_rel, r_rel, wp in tables:
+    for s_rel, r_rel, wp in per_part:
         nbr, nw, ws, _, _ = ell_tables(
             s_rel, r_rel, wp, num_dst=n_local, num_src=n_ext,
             block_size=block_size, window_size=window, max_degree=max_deg,

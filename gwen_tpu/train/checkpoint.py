@@ -27,6 +27,8 @@ class Checkpointer:
         )
 
     def save(self, step: int, state: Any, wait: bool = False) -> None:
+        if self._mngr.latest_step() == step:
+            return  # e.g. per-epoch best save colliding with checkpoint_every
         self._mngr.save(step, args=ocp.args.StandardSave(state))
         if wait:
             self._mngr.wait_until_finished()

@@ -31,6 +31,9 @@ def gnn_loss_fn(
 
     def loss_fn(params, batch):
         x, target_mask = batch["x"], batch["mask"]
+        # With mask_inputs datasets the input has target rows zeroed; the
+        # loss must compare against the unmasked ground truth.
+        target = batch.get("target", x)
         # Aggregation backends are batch-native (leading dims fold into the
         # feature axis), so the model applies to (B, N, F) directly — no vmap,
         # which keeps Pallas kernels out of batching rules.
@@ -41,15 +44,15 @@ def gnn_loss_fn(
             # target-node mask: count only active cells of target members.
             fmask = jnp.reshape(mask_threshold_mask, (1, 1, -1))
             nmask = jnp.reshape(target_mask, (1, -1, 1))
-            value = losses.masked_loss(preds, x, fmask * nmask)
+            value = losses.masked_loss(preds, target, fmask * nmask)
         elif loss == "l1-masked":
-            value = losses.masked_node_l1(preds, x, target_mask)
+            value = losses.masked_node_l1(preds, target, target_mask)
         elif loss == "ensemble-var-reg":
             value = losses.ensemble_variance_regularized_l1(
-                preds, x, alpha=var_reg_alpha, ensemble_axis=1
+                preds, target, alpha=var_reg_alpha, ensemble_axis=1
             )
         elif loss == "crps":
-            value = losses.crps_gaussian_surrogate(preds, x, ensemble_axis=1)
+            value = losses.crps_gaussian_surrogate(preds, target, ensemble_axis=1)
         else:
             raise ValueError(f"unknown GNN loss {loss!r}")
         return value, preds
@@ -144,7 +147,8 @@ def ensemble_crps_loss_fn(
         b = x.shape[0]
         keys = jax.random.split(key, b)
         xs = jax.vmap(lambda xi, ki: ensemble.sample_perturbed_members(
-            ki, xi, num_members, sigma, graph=None))(x, keys)  # (B, K, N, C)
+            ki, xi, num_members, sigma, graph=graph,
+            smoothing_steps=smoothing_steps))(x, keys)  # (B, K, N, C)
         xs = xs.reshape((b * num_members,) + x.shape[1:])
         preds = model.apply(params, graph, xs)
         preds = preds.reshape((b, num_members) + y.shape[1:])  # (B, K, N, C)

@@ -223,3 +223,14 @@ def test_meshstore_roundtrip(tmp_path):
     np.testing.assert_allclose(f2, fields, rtol=1e-6)
     np.testing.assert_array_equal(s2, s)
     assert meta["kind"] == "mesh-ensemble"
+
+
+def test_mask_inputs_batches_carry_unmasked_target():
+    """Regression: mask_inputs must not turn the loss into predict-zeros."""
+    data = np.random.default_rng(3).normal(size=(4, 5, 2, 3)).astype(np.float32)
+    ds = MemberGraphDataset(data=data, member_split=3, seed=0, mask_inputs=True)
+    batch = next(iter(ds.batches(2)))
+    assert len(batch) == 3
+    x, mask, target = batch
+    assert np.all(x[:, ds.target_mask] == 0)  # input masked
+    assert not np.all(target[:, ds.target_mask] == 0)  # truth preserved

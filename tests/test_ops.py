@@ -56,3 +56,32 @@ def test_block_ell_reference_matches_segment():
     a = aggregate_segment(g, x)
     b = aggregate_block_ell_reference(be, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_aggregate_dispatch_sliding_and_windowed_backends():
+    """Regression: v3/v4 containers dispatch through aggregate() and honor
+    backend='segment' (jnp reference paths)."""
+    from gwen_tpu.graph import (
+        apply_order,
+        icosphere_edges,
+        rcm_order,
+        to_sliding_dense,
+        to_windowed_dense,
+    )
+    from gwen_tpu.ops import aggregate
+
+    verts, s, r = icosphere_edges(2)
+    n = verts.shape[0]
+    perm = rcm_order(s, r, n)
+    s, r, _ = apply_order(perm, s, r)
+    g = build_graph(s, r, n)
+    x = _random_x(n, 12)
+    want = np.asarray(aggregate_segment(g, x))
+
+    wd = to_windowed_dense(g, block_size=32)
+    sd = to_sliding_dense(g, block_size=32)
+    for graph in (wd, sd):
+        got_k = np.asarray(aggregate(graph, x))  # kernel (interpret on CPU)
+        got_r = np.asarray(aggregate(graph, x, backend="segment"))  # reference
+        np.testing.assert_allclose(got_k, want, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(got_r, want, rtol=1e-4, atol=1e-4)

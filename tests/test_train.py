@@ -185,3 +185,33 @@ def test_optimizer_schedules():
         state = TrainState.create(model.init(jax.random.key(0)), opt)
         state, loss = trainer.fit(state, _batches(ds), epochs=2)
         assert np.isfinite(loss)
+
+
+def test_checkpoint_duplicate_step_is_noop(tmp_path):
+    """Regression: per-epoch best save colliding with checkpoint_every must
+    not crash (Orbax rejects duplicate steps)."""
+    ckpt = Checkpointer(tmp_path / "c", max_to_keep=2)
+    _, state, _ = _make_trainer()
+    ckpt.save(5, state, wait=True)
+    ckpt.save(5, state, wait=True)  # duplicate — silently skipped
+    assert ckpt.latest_step() == 5
+    ckpt.close()
+
+
+def test_gnn_loss_uses_unmasked_target():
+    """Regression: with mask_inputs batches, loss compares to ground truth."""
+    from gwen_tpu.data.dataset import MemberGraphDataset
+
+    data = np.abs(np.random.default_rng(7).normal(size=(2, N_MEMBERS, H, C))).astype(np.float32) + 1.0
+    ds = MemberGraphDataset(data=data, member_split=4, seed=1, mask_inputs=True)
+    model = GCNStack(channels_in=H * C, channels_out=H * C, hidden_feats=8)
+    graph = _graph()
+    params = model.init(jax.random.key(0))
+    loss_fn = gnn_loss_fn(model, graph)
+    x, mask, target = next(iter(ds.batches(2)))
+    loss, _ = loss_fn(params, {"x": x, "mask": mask, "target": target})
+    # Against all-ones-plus targets an untrained model can't be near zero;
+    # the broken version (target == masked zeros) would give ~|preds|≈small.
+    loss_broken, _ = loss_fn(params, {"x": x, "mask": mask})
+    assert float(loss) > 0.5  # true-target loss is O(|data|)
+    assert float(loss) != float(loss_broken)
