@@ -61,11 +61,14 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
     # above it, the memory-light ELL kernel wins on wall-clock setup.
     if s_mat_bytes < int(1.5 * 2**30):
         graph = to_windowed_dense(g)
-        graph = graph.replace(s_mat=graph.s_mat.astype(jnp.bfloat16))
+        graph = graph.replace(
+            s_mat=np.asarray(graph.s_mat, np.float32).astype(jnp.bfloat16)
+        )
         kernel = "sdense"
     else:
         graph = be
         kernel = "ell"
+    graph = jax.device_put(graph)  # containers hold numpy; place once
 
     model = EncodeProcessDecode(
         channels_in=feats, channels_out=feats, latent_size=latent,

@@ -105,7 +105,9 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
             # Streamed-S kernel (fastest); S dtype matches the compute dtype.
             graph = to_windowed_dense(g)
             if compute_dtype == jnp.bfloat16:
-                graph = graph.replace(s_mat=graph.s_mat.astype(jnp.bfloat16))
+                graph = graph.replace(
+                    s_mat=np.asarray(graph.s_mat).astype(jnp.bfloat16)
+                )
         else:
             graph = g
         context = graph

@@ -208,10 +208,15 @@ def build_graph(
     s[:e] = senders
     r[:e] = receivers
     ww[:e] = w
+    # Containers keep NUMPY leaves: layout converters and partitioners read
+    # them host-side, and device placement happens lazily at first jit use
+    # (or explicitly via jax.device_put where the graph enters a hot loop).
+    # Eager device arrays would round-trip hundreds of MB through the
+    # host<->device link at ICON-mesh scale.
     return Graph(
-        senders=jnp.asarray(s),
-        receivers=jnp.asarray(r),
-        weights=jnp.asarray(ww),
+        senders=s,
+        receivers=r,
+        weights=ww,
         num_nodes=int(num_nodes),
         num_edges=int(e),
     )
@@ -225,7 +230,7 @@ def to_dense(graph: Graph) -> DenseGraph:
     w = np.asarray(graph.weights)
     adj = np.zeros((n, n), np.float32)
     np.add.at(adj, (r, s), w)
-    return DenseGraph(adj=jnp.asarray(adj), num_nodes=n, num_edges=graph.num_edges)
+    return DenseGraph(adj=adj, num_nodes=n, num_edges=graph.num_edges)
 
 
 def ell_tables(
@@ -335,9 +340,9 @@ def to_block_ell(
         lane_multiple=lane_multiple,
     )
     return BlockEllGraph(
-        nbr=jnp.asarray(nbr),
-        nbr_weight=jnp.asarray(nbr_w),
-        window_start=jnp.asarray(win_start),
+        nbr=nbr,
+        nbr_weight=nbr_w,
+        window_start=win_start,
         num_nodes=n,
         num_edges=e,
         block_size=block_size,
@@ -419,10 +424,10 @@ def to_block_tiles(
         tw = np.pad(tw, ((0, 0), (0, flat_pad - flat)))
 
     return BlockTileGraph(
-        tile_idx=jnp.asarray(tile_idx),
-        n_active=jnp.asarray(n_active),
-        tnbr=jnp.asarray(tnbr),
-        tw=jnp.asarray(tw),
+        tile_idx=tile_idx,
+        n_active=n_active,
+        tnbr=tnbr,
+        tw=tw,
         num_nodes=n,
         num_edges=e,
         block_size=block_size,
@@ -491,8 +496,8 @@ def to_windowed_dense(
     np.add.at(s_mat, (rows, cols), nbr_w.ravel().astype(dtype))
     # Padding slots all point at col 0 with weight 0 — harmless in the add.
     return WindowedDenseGraph(
-        s_mat=jnp.asarray(s_mat),
-        window_start=jnp.asarray(win_start),
+        s_mat=s_mat,
+        window_start=win_start,
         num_nodes=n,
         num_edges=e,
         block_size=block_size,
@@ -588,9 +593,9 @@ def to_sliding_dense(
     np.add.at(s_mat, (rows, cols.ravel()), nbr_w.ravel().astype(dtype))
 
     return SlidingDenseGraph(
-        s_mat=jnp.asarray(s_mat),
-        window_start=jnp.asarray(ws_mono.astype(np.int32)),
-        delta_blocks=jnp.asarray(delta_blocks),
+        s_mat=s_mat,
+        window_start=ws_mono.astype(np.int32),
+        delta_blocks=delta_blocks,
         num_nodes=n,
         num_edges=e,
         block_size=block_size,

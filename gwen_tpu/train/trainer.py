@@ -88,7 +88,9 @@ class Trainer:
         self.run = run
         self.checkpointer = checkpointer
         self.log_every = log_every
-        self.context = context
+        # Place the context on device once — numpy-leaf graph containers
+        # passed as jit args would otherwise re-transfer every step.
+        self.context = None if context is None else jax.device_put(context)
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
 
