@@ -63,11 +63,13 @@ def main() -> None:
 
     step = trainer._train_step
     state, loss = step(state, batch_data, None)
-    jax.block_until_ready(loss)
+    float(loss)  # compile + full execution (readback barrier)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, loss = step(state, batch_data, None)
-    jax.block_until_ready(loss)
+        state, loss = step(state, batch_data, None)  # chained through state
+    # Scalar readback: block_until_ready can return early on the remote
+    # runtime; fetching the chained loss forces every step to execute.
+    float(loss)
     dt = (time.perf_counter() - t0) / iters
 
     # Model FLOPs per step: fwd+bwd ≈ 3x fwd; fwd = per-layer 2*B*M*(din*dout)

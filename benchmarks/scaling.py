@@ -35,7 +35,7 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
 
     from gwen_tpu.graph import (
         apply_order, build_graph, icosphere_edges, rcm_order,
-        to_block_ell, to_windowed_dense,
+        to_block_ell, to_sliding_dense, to_windowed_dense,
     )
     from gwen_tpu.nn import EncodeProcessDecode
     from gwen_tpu.train import TrainState
@@ -53,22 +53,24 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
     g = build_graph(s, r, n)
     edges = g.num_edges
 
-    # Kernel selection: streamed-S while S fits comfortably in HBM.
-    wd_bytes = ((n + 127) // 128 * 128) * 2  # per window column, bf16
+    # Kernel selection: streamed-S while S fits in HBM. S is expanded *on
+    # device* from the compact O(edges) ELL tables (device_build=True), so
+    # placement cost is O(edges) regardless of S size — the memory budget
+    # (S + x + grads + opt state within ~16 GB HBM) is the only limit.
     be = to_block_ell(g)
     s_mat_bytes = be.num_padded_nodes * be.window_size * 2
-    # Threshold reflects placement cost too (host->device transfer of S);
-    # above it, the memory-light ELL kernel wins on wall-clock setup.
     if s_mat_bytes < int(1.5 * 2**30):
-        graph = to_windowed_dense(g)
-        graph = graph.replace(
-            s_mat=np.asarray(graph.s_mat, np.float32).astype(jnp.bfloat16)
-        )
+        graph = to_windowed_dense(g, dtype=jnp.bfloat16, device_build=True)
         kernel = "sdense"
+    elif s_mat_bytes < int(7 * 2**30):
+        # Sliding-ring reads x once instead of once per window overlap —
+        # the right trade at L8 where S alone is multiple GB.
+        graph = to_sliding_dense(g, dtype=jnp.bfloat16, device_build=True)
+        kernel = "sliding"
     else:
         graph = be
         kernel = "ell"
-    graph = jax.device_put(graph)  # containers hold numpy; place once
+    graph = jax.device_put(graph)  # numpy leaves place once; S already on device
 
     model = EncodeProcessDecode(
         channels_in=feats, channels_out=feats, latent_size=latent,
@@ -99,24 +101,34 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
 
     step = jax.jit(train_step, donate_argnums=(0,))
 
-    def timed(fn, *args, donate_state=False):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        if donate_state:  # re-make state each timing? measure via chaining
-            st = out[0]
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                st, l = fn(st, *args[1:])
-            jax.block_until_ready(st)
-            return (time.perf_counter() - t0) / iters
+    # Timing MUST chain each iteration's input through the previous output
+    # and end with a concrete scalar readback via a pre-compiled probe:
+    # jax.block_until_ready has been observed to return before remote (axon)
+    # execution completes, and unchained identical dispatches get deduped —
+    # either way an unchained/block-based loop measures dispatch, not
+    # execution (observed: L8 fwd "0.07 ms" for an honest 52 ms).
+    probe = jax.jit(lambda a: a.ravel()[0].astype(jnp.float32))
+
+    def timed_fwd(fn, params, gr, x0):
+        out = fn(params, gr, x0)
+        float(probe(out))  # compile fn + probe; full execution
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
+            out = fn(params, gr, out)  # chained: output feeds next input
+        float(probe(out))  # forces the whole chain; scalar transfer only
         return (time.perf_counter() - t0) / iters
 
-    t_fwd = timed(fwd, state.params, graph, x)
-    t_step = timed(step, state, graph, x, y, donate_state=True)
+    def timed_step(fn, st, gr, xx, yy):
+        st, l = fn(st, gr, xx, yy)
+        float(l)  # compile + full execution
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, l = fn(st, gr, xx, yy)  # chained through donated state
+        float(l)  # device->host readback of the chained result
+        return (time.perf_counter() - t0) / iters
+
+    t_fwd = timed_fwd(fwd, state.params, graph, x)
+    t_step = timed_step(step, state, graph, x, y)
     eff_edges = edges * max(batch, 1) * steps  # per fwd pass
     return {
         "levels": levels,

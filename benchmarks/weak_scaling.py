@@ -79,11 +79,13 @@ def measure(parts: int, height: int, width_per_part: int, feats: int = 32,
 
     tables = apply.tables
     p_, o_, l_ = step(params, opt_state, tables, x, y)
-    jax.block_until_ready(l_)
+    float(l_)  # compile + full execution (readback barrier)
     t0 = time.perf_counter()
     for _ in range(iters):
-        p_, o_, l_ = step(p_, o_, tables, x, y)
-    jax.block_until_ready(l_)
+        p_, o_, l_ = step(p_, o_, tables, x, y)  # chained through params
+    # Scalar readback of the chained loss — trustworthy barrier on the
+    # remote runtime (block_until_ready can return early).
+    float(l_)
     dt = (time.perf_counter() - t0) / iters
     return {
         "parts": parts,

@@ -22,11 +22,13 @@ construction; device code only ever multiplies and accumulates.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
 from flax import struct
 
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -437,6 +439,30 @@ def to_block_tiles(
     )
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _expand_s_device(cols: Array, weights: Array, width: int, dtype) -> Array:
+    """Expand compact per-row ``(col, weight)`` slot tables into the dense
+    ``(N_pad, width)`` scatter matrix *on device*.
+
+    The compact tables are O(edges) (~tens of MB at ICON-mesh scale) while the
+    dense S is O(N × window) (GBs at L8) — building S on device keeps the big
+    array out of the host↔device link entirely (which this environment measures
+    at ~4 MB/s; see CLAUDE.md perf log). XLA fuses the per-degree-slot
+    compare+selects into a single pass over the output.
+
+    Duplicate ``(row, col)`` slots accumulate, matching ``np.add.at``.
+    """
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (cols.shape[0], width), 1)
+    s = jnp.zeros((cols.shape[0], width), dtype)
+    for d in range(cols.shape[1]):
+        s = s + jnp.where(
+            col_iota == cols[:, d : d + 1],
+            weights[:, d : d + 1].astype(dtype),
+            jnp.zeros((), dtype),
+        )
+    return s
+
+
 @struct.dataclass
 class WindowedDenseGraph:
     """Precomputed dense scatter-matrix layout for the streamed-S Pallas
@@ -475,9 +501,17 @@ def to_windowed_dense(
     block_size: int = 128,
     window_size: Optional[int] = None,
     dtype=np.float32,
+    device_build: bool = False,
 ) -> WindowedDenseGraph:
-    """Materialize per-block scatter matrices (host-side) for the streamed-S
-    kernel. Requires RCM ordering like :func:`to_block_ell`."""
+    """Materialize per-block scatter matrices for the streamed-S kernel.
+    Requires RCM ordering like :func:`to_block_ell`.
+
+    ``device_build=True`` expands S on device from the compact ELL tables
+    (see :func:`_expand_s_device`) — use it when S is large (L8+ meshes):
+    only O(edges) bytes cross the host↔device link. The returned container
+    then holds a *device* array leaf for ``s_mat``; partition it first if a
+    host-side view is needed.
+    """
     e = graph.num_edges
     n = graph.num_nodes
     nbr, nbr_w, win_start, window, src_pad = ell_tables(
@@ -490,10 +524,15 @@ def to_windowed_dense(
         window_size=window_size,
     )
     n_pad = nbr.shape[0]
-    s_mat = np.zeros((n_pad, window), dtype)
-    rows = np.repeat(np.arange(n_pad), nbr.shape[1])
-    cols = nbr.ravel()
-    np.add.at(s_mat, (rows, cols), nbr_w.ravel().astype(dtype))
+    if device_build:
+        s_mat = _expand_s_device(
+            jnp.asarray(nbr), jnp.asarray(nbr_w), window, np.dtype(dtype)
+        )
+    else:
+        s_mat = np.zeros((n_pad, window), dtype)
+        rows = np.repeat(np.arange(n_pad), nbr.shape[1])
+        cols = nbr.ravel()
+        np.add.at(s_mat, (rows, cols), nbr_w.ravel().astype(dtype))
     # Padding slots all point at col 0 with weight 0 — harmless in the add.
     return WindowedDenseGraph(
         s_mat=s_mat,
@@ -547,8 +586,14 @@ def to_sliding_dense(
     *,
     block_size: int = 128,
     dtype=np.float32,
+    device_build: bool = False,
 ) -> SlidingDenseGraph:
-    """Build the sliding-ring streamed-S layout (v4 kernel)."""
+    """Build the sliding-ring streamed-S layout (v4 kernel).
+
+    ``device_build=True`` expands the big S array on device from compact
+    O(edges) tables (see :func:`to_windowed_dense`); required in practice at
+    L8+ scale where S is GBs and host→device placement would dominate.
+    """
     e = graph.num_edges
     n = graph.num_nodes
     nbr, nbr_w, win_start, window, src_pad = ell_tables(
@@ -588,9 +633,15 @@ def to_sliding_dense(
     # Scatter matrix with ring-layout columns: col = abs_src % ring_rows.
     abs_idx_m = (ws_mono.repeat(block_size)[:, None] + rel_mono)
     cols = (abs_idx_m % ring_rows).astype(np.int64)
-    s_mat = np.zeros((n_pad, ring_rows), dtype)
-    rows = np.repeat(np.arange(n_pad), nbr.shape[1])
-    np.add.at(s_mat, (rows, cols.ravel()), nbr_w.ravel().astype(dtype))
+    if device_build:
+        s_mat = _expand_s_device(
+            jnp.asarray(cols.astype(np.int32)), jnp.asarray(nbr_w),
+            ring_rows, np.dtype(dtype),
+        )
+    else:
+        s_mat = np.zeros((n_pad, ring_rows), dtype)
+        rows = np.repeat(np.arange(n_pad), nbr.shape[1])
+        np.add.at(s_mat, (rows, cols.ravel()), nbr_w.ravel().astype(dtype))
 
     return SlidingDenseGraph(
         s_mat=s_mat,

@@ -3,7 +3,8 @@
 The reference has no profiling subsystem (SURVEY §5: closest artifact is a
 leftover ``CUDA_LAUNCH_BLOCKING=1``). Here:
 
-* :func:`timeit` — ``block_until_ready`` wall-clock timing of jitted fns.
+* :func:`timeit` — wall-clock timing of jitted fns with a readback barrier
+  (trustworthy on remote runtimes where ``block_until_ready`` is not).
 * :class:`StepTimer` — rolling per-step stats with derived throughput
   (steps/s, edges/s, items/s).
 * :func:`trace` / :func:`start_server` — ``jax.profiler`` integration (view
@@ -22,18 +23,53 @@ from typing import Callable, Iterator, Optional
 import jax
 
 
-def timeit(fn: Callable, *args, iters: int = 10, warmup: int = 1) -> dict:
-    """Time ``fn(*args)`` with proper device synchronization."""
+def timeit(
+    fn: Callable,
+    *args,
+    iters: int = 10,
+    warmup: int = 1,
+    chain: Optional[Callable] = None,
+) -> dict:
+    """Time ``fn(*args)`` with a concrete device readback as the barrier.
+
+    Two rules learned on the remote (axon) TPU runtime — both are harmless on
+    local backends, so they are applied unconditionally:
+
+    * ``jax.block_until_ready`` can return before remote execution completes;
+      the only trustworthy barrier is fetching bytes. The final output's first
+      scalar is read back through a pre-compiled probe (4-byte transfer).
+    * Identical (executable, args) dispatches may be deduped/replayed. Pass
+      ``chain`` (``output -> next args tuple``) to make every iteration's
+      input depend on the previous output; without it, repeated-call timings
+      of a pure ``fn`` on fixed args are a lower bound only.
+    """
     out = None
     for _ in range(max(warmup, 1)):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch_scalar(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        out = fn(*(chain(out) if chain is not None else args))
+    _fetch_scalar(out)
     dt = (time.perf_counter() - t0) / iters
     return {"mean_s": dt, "iters": iters}
+
+
+@jax.jit
+def _probe_first(a):
+    return a.ravel()[0].astype("float32")
+
+
+def _fetch_scalar(out) -> float:
+    """Force full execution of ``out``'s dependency chain by reading back one
+    scalar from each array leaf (pre-compiled probe; 4 bytes per leaf)."""
+    total = 0.0
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            total += float(_probe_first(leaf))
+        elif isinstance(leaf, (int, float)):
+            total += float(leaf)
+    return total
 
 
 class StepTimer:

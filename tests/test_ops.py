@@ -85,3 +85,30 @@ def test_aggregate_dispatch_sliding_and_windowed_backends():
         got_r = np.asarray(aggregate(graph, x, backend="segment"))  # reference
         np.testing.assert_allclose(got_k, want, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(got_r, want, rtol=1e-4, atol=1e-4)
+
+
+def test_device_build_s_matches_host_build():
+    """device_build=True expands the same S as the host np.add.at path —
+    the L8-scale route where S (GBs) must never cross the host<->device link."""
+    from gwen_tpu.graph import to_sliding_dense, to_windowed_dense
+
+    verts, s, r = icosphere_edges(2)
+    n = verts.shape[0]
+    perm = rcm_order(s, r, n)
+    s, r, _ = apply_order(perm, s, r)
+    g = build_graph(s, r, n)
+
+    wd_host = to_windowed_dense(g, block_size=32)
+    wd_dev = to_windowed_dense(g, block_size=32, device_build=True)
+    np.testing.assert_allclose(
+        np.asarray(wd_dev.s_mat), wd_host.s_mat, rtol=1e-6, atol=1e-6
+    )
+    assert np.array_equal(np.asarray(wd_dev.window_start), wd_host.window_start)
+
+    sd_host = to_sliding_dense(g, block_size=32)
+    sd_dev = to_sliding_dense(g, block_size=32, device_build=True)
+    np.testing.assert_allclose(
+        np.asarray(sd_dev.s_mat), sd_host.s_mat, rtol=1e-6, atol=1e-6
+    )
+    assert sd_dev.ring_rows == sd_host.ring_rows
+    assert np.array_equal(np.asarray(sd_dev.delta_blocks), sd_host.delta_blocks)
