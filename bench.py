@@ -47,33 +47,53 @@ def _build(levels: int):
     return g, to_block_ell(g), n
 
 
-def _time(fn, x, iters: int, repeats: int = 3) -> float:
-    """Median of ``repeats`` timed runs (tunnel dispatch adds 20-30% jitter
-    at millisecond scales; the median is stable).
+def _time(agg, graph, x, iters: int, repeats: int = 3) -> float:
+    """Median of ``repeats`` timed runs of an on-device ``lax.scan`` chain.
 
-    Honest timing under the axon remote runtime requires BOTH:
+    Honest timing under the axon remote runtime requires all three of:
     (1) chaining — each iteration feeds the previous output back as input
-        (aggregation preserves the (N, F) shape), and
+        (aggregation preserves the (N, F) shape), so nothing is deduped or
+        reordered;
     (2) a concrete scalar readback of the chain's final output through a
         pre-compiled probe — ``jax.block_until_ready`` has been observed to
         return before remote execution completes, so timing on it measures
-        dispatch, not the kernel.
+        dispatch, not the kernel; and
+    (3) the iteration loop ON DEVICE (``lax.scan``) — a Python-level chain
+        pays a per-dispatch issue cost (~1 ms through the relay) that
+        inflates every ms-scale kernel by that much; one scan dispatch
+        amortizes the ~25 ms round trip over all iterations.
+
+    The graph is a scan-invariant jit *argument* (never a closed-over
+    constant — big constants blow up remote compiles, CLAUDE.md).
     """
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     probe = jax.jit(lambda a: a.ravel()[0].astype(jnp.float32))
-    out = fn(x)
-    float(probe(out))  # compile fn + probe; full execution
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def many(g, x0, n):
+        return jax.lax.scan(lambda c, _: (agg(g, c), ()), x0, None, length=n)[0]
+
+    # Difference method: per-iter = (T(2N) - T(N)) / N — cancels the fixed
+    # dispatch+readback round trip (~25 ms through the relay) exactly instead
+    # of amortizing it.
+    out = many(graph, x, iters)  # compile + warm (N)
+    float(probe(out))
+    out = many(graph, out, 2 * iters)  # compile + warm (2N)
+    float(probe(out))
     times = []
     for _ in range(repeats):
-        out = fn(x)
-        float(probe(out))
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(out)  # chained
-        float(probe(out))  # forces the whole chain; scalar transfer only
-        times.append((time.perf_counter() - t0) / iters)
+        out = many(graph, out, iters)
+        float(probe(out))
+        t1 = time.perf_counter()
+        out = many(graph, out, 2 * iters)
+        float(probe(out))
+        t2 = time.perf_counter()
+        times.append(((t2 - t1) - (t1 - t0)) / iters)
     times.sort()
     return times[len(times) // 2]
 
@@ -116,18 +136,17 @@ def main() -> None:
         # S is expanded on device from the compact ELL tables — only O(edges)
         # bytes cross the host->device link, so setup stays fast at any scale.
         wd = to_windowed_dense(g_coo, dtype=dtype, device_build=True)
-        wd = jax.device_put(wd)  # numpy leaves place once; S already on device
-        pallas_fn = functools.partial(jax.jit(spmm_windowed_dense), wd)
+        pg, pallas_agg = jax.device_put(wd), spmm_windowed_dense
     else:
-        pallas_fn = functools.partial(jax.jit(spmm_block_ell), jax.device_put(g_bell))
-    seg_fn = functools.partial(jax.jit(aggregate_segment), jax.device_put(g_coo))
+        pg, pallas_agg = jax.device_put(g_bell), spmm_block_ell
 
-    t_pallas = _time(pallas_fn, x, iters)
+    t_pallas = _time(pallas_agg, pg, x, iters)
     eps_pallas = edges / t_pallas
     # The segment baseline materializes (E, F) messages — 16 GB at the L9
     # stretch config; skip it there (GWEN_BENCH_BASELINE=0).
     if os.environ.get("GWEN_BENCH_BASELINE", "1") == "1":
-        t_seg = _time(seg_fn, x32, iters)
+        t_seg = _time(aggregate_segment, jax.device_put(g_coo), x32,
+                      max(iters // 4, 5))
         eps_seg = edges / t_seg
     else:
         t_seg = float("nan")
