@@ -47,55 +47,15 @@ def _build(levels: int):
     return g, to_block_ell(g), n
 
 
-def _time(agg, graph, x, iters: int, repeats: int = 3) -> float:
-    """Median of ``repeats`` timed runs of an on-device ``lax.scan`` chain.
-
-    Honest timing under the axon remote runtime requires all three of:
-    (1) chaining — each iteration feeds the previous output back as input
-        (aggregation preserves the (N, F) shape), so nothing is deduped or
-        reordered;
-    (2) a concrete scalar readback of the chain's final output through a
-        pre-compiled probe — ``jax.block_until_ready`` has been observed to
-        return before remote execution completes, so timing on it measures
-        dispatch, not the kernel; and
-    (3) the iteration loop ON DEVICE (``lax.scan``) — a Python-level chain
-        pays a per-dispatch issue cost (~1 ms through the relay) that
-        inflates every ms-scale kernel by that much; one scan dispatch
-        amortizes the ~25 ms round trip over all iterations.
-
+def _time(agg, graph, x, iters: int) -> float:
+    """On-device scan chain with difference-method readout — the only timing
+    scheme that is trustworthy on the remote (axon) runtime. See
+    ``gwen_tpu.profiling.scan_timeit`` for the three rules it encodes.
     The graph is a scan-invariant jit *argument* (never a closed-over
-    constant — big constants blow up remote compiles, CLAUDE.md).
-    """
-    import functools
+    constant — big constants blow up remote compiles, CLAUDE.md)."""
+    from gwen_tpu.profiling import scan_timeit
 
-    import jax
-    import jax.numpy as jnp
-
-    probe = jax.jit(lambda a: a.ravel()[0].astype(jnp.float32))
-
-    @functools.partial(jax.jit, static_argnums=2)
-    def many(g, x0, n):
-        return jax.lax.scan(lambda c, _: (agg(g, c), ()), x0, None, length=n)[0]
-
-    # Difference method: per-iter = (T(2N) - T(N)) / N — cancels the fixed
-    # dispatch+readback round trip (~25 ms through the relay) exactly instead
-    # of amortizing it.
-    out = many(graph, x, iters)  # compile + warm (N)
-    float(probe(out))
-    out = many(graph, out, 2 * iters)  # compile + warm (2N)
-    float(probe(out))
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = many(graph, out, iters)
-        float(probe(out))
-        t1 = time.perf_counter()
-        out = many(graph, out, 2 * iters)
-        float(probe(out))
-        t2 = time.perf_counter()
-        times.append(((t2 - t1) - (t1 - t0)) / iters)
-    times.sort()
-    return times[len(times) // 2]
+    return scan_timeit(lambda c, g: agg(g, c), x, graph, iters=iters)["mean_s"]
 
 
 def main() -> None:
@@ -118,7 +78,7 @@ def main() -> None:
     levels = int(os.environ.get("GWEN_BENCH_LEVELS", "7"))
     feats = int(os.environ.get("GWEN_BENCH_FEATURES", "256"))
     iters = int(os.environ.get("GWEN_BENCH_ITERS", "50"))
-    kernel = os.environ.get("GWEN_BENCH_KERNEL", "sdense")
+    kernel = os.environ.get("GWEN_BENCH_KERNEL", "sliding")
     dtype = jnp.bfloat16 if os.environ.get("GWEN_BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
     g_coo, g_bell, n = _build(levels)
@@ -127,14 +87,21 @@ def main() -> None:
     x32 = jax.random.normal(jax.random.key(0), (n, feats), jnp.float32)
     x = x32.astype(dtype)
 
-    from gwen_tpu.graph import to_windowed_dense
+    from gwen_tpu.graph import to_sliding_dense, to_windowed_dense
     from gwen_tpu.ops import aggregate_segment
-    from gwen_tpu.ops.spmm_pallas import spmm_block_ell, spmm_windowed_dense
+    from gwen_tpu.ops.spmm_pallas import (
+        spmm_block_ell,
+        spmm_sliding_dense,
+        spmm_windowed_dense,
+    )
 
-    # Graph tables are jit *arguments* (never closed-over constants).
-    if kernel == "sdense":
-        # S is expanded on device from the compact ELL tables — only O(edges)
-        # bytes cross the host->device link, so setup stays fast at any scale.
+    # Graph tables are jit *arguments* (never closed-over constants). S is
+    # expanded on device from the compact ELL tables (device_build) — only
+    # O(edges) bytes cross the host->device link at any scale.
+    if kernel == "sliding":
+        sg = to_sliding_dense(g_coo, dtype=dtype, device_build=True)
+        pg, pallas_agg = jax.device_put(sg), spmm_sliding_dense
+    elif kernel == "sdense":
         wd = to_windowed_dense(g_coo, dtype=dtype, device_build=True)
         pg, pallas_agg = jax.device_put(wd), spmm_windowed_dense
     else:

@@ -59,17 +59,18 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
     # (S + x + grads + opt state within ~16 GB HBM) is the only limit.
     be = to_block_ell(g)
     s_mat_bytes = be.num_padded_nodes * be.window_size * 2
-    if s_mat_bytes < int(1.5 * 2**30):
+    kernel = os.environ.get("GWEN_SCALING_KERNEL", "")
+    if not kernel:
+        # Sliding-ring reads x once instead of once per window overlap and
+        # shares one S stream across folded batch members — measured fastest
+        # at every level whose S fits HBM (L7 EPD step: 23 ms vs 42 sdense).
+        kernel = "sliding" if s_mat_bytes < int(7 * 2**30) else "ell"
+    if kernel == "sdense":
         graph = to_windowed_dense(g, dtype=jnp.bfloat16, device_build=True)
-        kernel = "sdense"
-    elif s_mat_bytes < int(7 * 2**30):
-        # Sliding-ring reads x once instead of once per window overlap —
-        # the right trade at L8 where S alone is multiple GB.
+    elif kernel == "sliding":
         graph = to_sliding_dense(g, dtype=jnp.bfloat16, device_build=True)
-        kernel = "sliding"
     else:
         graph = be
-        kernel = "ell"
     graph = jax.device_put(graph)  # numpy leaves place once; S already on device
 
     model = EncodeProcessDecode(
@@ -85,8 +86,6 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
     x = jax.random.normal(jax.random.key(0), shape, jnp.float32)
     y = x * 0.9
 
-    fwd = jax.jit(lambda p, gr, v: model.apply(p, gr, v))
-
     def train_step(st, gr, xx, yy):
         def loss(p):
             pred = model.apply(p, gr, xx)
@@ -99,36 +98,21 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
         return TrainState(params=_o.apply_updates(st.params, updates),
                           opt_state=opt_state, step=st.step + 1), lval
 
-    step = jax.jit(train_step, donate_argnums=(0,))
+    # On-device scan chain + difference-method readout — the only timing
+    # scheme that is trustworthy on the remote (axon) runtime (a Python
+    # dispatch chain pays ~1 ms issue cost per iteration; see
+    # gwen_tpu.profiling.scan_timeit). Graph/params are scan-invariant jit
+    # arguments, never closed-over constants.
+    from gwen_tpu.profiling import scan_timeit
 
-    # Timing MUST chain each iteration's input through the previous output
-    # and end with a concrete scalar readback via a pre-compiled probe:
-    # jax.block_until_ready has been observed to return before remote (axon)
-    # execution completes, and unchained identical dispatches get deduped —
-    # either way an unchained/block-based loop measures dispatch, not
-    # execution (observed: L8 fwd "0.07 ms" for an honest 52 ms).
-    probe = jax.jit(lambda a: a.ravel()[0].astype(jnp.float32))
-
-    def timed_fwd(fn, params, gr, x0):
-        out = fn(params, gr, x0)
-        float(probe(out))  # compile fn + probe; full execution
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(params, gr, out)  # chained: output feeds next input
-        float(probe(out))  # forces the whole chain; scalar transfer only
-        return (time.perf_counter() - t0) / iters
-
-    def timed_step(fn, st, gr, xx, yy):
-        st, l = fn(st, gr, xx, yy)
-        float(l)  # compile + full execution
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            st, l = fn(st, gr, xx, yy)  # chained through donated state
-        float(l)  # device->host readback of the chained result
-        return (time.perf_counter() - t0) / iters
-
-    t_fwd = timed_fwd(fwd, state.params, graph, x)
-    t_step = timed_step(step, state, graph, x, y)
+    t_fwd = scan_timeit(
+        lambda xx, gr, p: model.apply(p, gr, xx), x, graph, state.params,
+        iters=iters,
+    )["mean_s"]
+    t_step = scan_timeit(
+        lambda st, gr, xx, yy: train_step(st, gr, xx, yy)[0],
+        state, graph, x, y, iters=iters,
+    )["mean_s"]
     eff_edges = edges * max(batch, 1) * steps  # per fwd pass
     return {
         "levels": levels,

@@ -32,7 +32,7 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
         apply_order,
         build_graph,
         rcm_order,
-        to_windowed_dense,
+        to_sliding_dense,
     )
     from gwen_tpu.nn import EncodeProcessDecode
     from gwen_tpu.parallel import make_partitioned_apply, partition_graph
@@ -102,12 +102,12 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
         mesh = None
         g = build_graph(s2, r2, n)
         if jax.default_backend() == "tpu":
-            # Streamed-S kernel (fastest); S dtype matches the compute dtype.
-            graph = to_windowed_dense(g)
-            if compute_dtype == jnp.bfloat16:
-                graph = graph.replace(
-                    s_mat=np.asarray(graph.s_mat).astype(jnp.bfloat16)
-                )
+            # Sliding-ring streamed-S kernel (fastest: x read once, one S
+            # stream shared across folded batch members); S built on device
+            # so only O(edges) bytes cross the host->device link.
+            graph = to_sliding_dense(
+                g, dtype=compute_dtype, device_build=True
+            )
         else:
             graph = g
         context = graph

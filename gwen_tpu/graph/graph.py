@@ -679,7 +679,7 @@ def build_multilevel_graph(
     num_nodes: int,
     *,
     self_loops: bool = True,
-    fine_layout: str = "coo",  # "coo" | "ell" | "windowed"
+    fine_layout: str = "coo",  # "coo" | "ell" | "windowed" | "sliding"
     block_size: int = 128,
 ) -> MultiLevelGraph:
     """Normalize over the edge union, split by level, pick layouts.
@@ -708,6 +708,8 @@ def build_multilevel_graph(
                 g = to_block_ell(g, block_size=block_size)
             elif fine_layout == "windowed":
                 g = to_windowed_dense(g, block_size=block_size)
+            elif fine_layout == "sliding":
+                g = to_sliding_dense(g, block_size=block_size)
         subgraphs.append(g)
     return MultiLevelGraph(
         subgraphs=tuple(subgraphs),

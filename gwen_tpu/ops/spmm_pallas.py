@@ -475,19 +475,23 @@ def spmm_windowed_dense(graph, x: Array, f_blk: int = 512) -> Array:
 
 def _sliding_kernel(window, ring_rows, max_fill, num_blocks,
                     ws_ref, db_ref, s_ref, x_hbm, out_ref, ring, sems):
-    j = pl.program_id(0)  # feature tile (outer)
-    i = pl.program_id(1)  # destination block (inner, sequential)
-    f_blk = ring.shape[1]
+    i = pl.program_id(0)  # destination block (sequential walk)
     block = s_ref.shape[0]
 
     def chunk(step, k):
-        """DMA for 128-row chunk k of the rows step ``step`` must add."""
+        """DMA for 128-row chunk k of the rows step ``step`` must add.
+
+        Covers the FULL folded feature width — the ring holds every feature
+        column, so the S matrix streams exactly once per aggregation no
+        matter how many batch members are folded into the feature axis
+        (the wrapper chunks the width only when the ring would overflow its
+        VMEM budget)."""
         base = jnp.where(step == 0, ws_ref[0],
                          ws_ref[jnp.maximum(step - 1, 0)] + window)
         src = pl.multiple_of(base + k * block, block)
         dst = pl.multiple_of(jax.lax.rem(src, ring_rows), block)
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(src, block), pl.ds(j * f_blk, f_blk)],
+            x_hbm.at[pl.ds(src, block), :],
             ring.at[pl.ds(dst, block), :],
             sems.at[k],
         )
@@ -497,9 +501,9 @@ def _sliding_kernel(window, ring_rows, max_fill, num_blocks,
     max_delta = max_fill[1]
     max_fill = max_fill[0]
 
-    # Cold start of each f-tile walk: zero the ring (the matmul contracts
-    # over all ring rows; never-fetched slots must be 0, not garbage), then
-    # fetch and await the full first window.
+    # Cold start: zero the ring (the matmul contracts over all ring rows;
+    # never-fetched slots must be 0, not garbage), then fetch and await the
+    # full first window.
     @pl.when(i == 0)
     def _():
         ring[:] = jnp.zeros_like(ring)
@@ -535,26 +539,25 @@ def _sliding_kernel(window, ring_rows, max_fill, num_blocks,
     ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
-def _sliding_impl(ws, db, s_mat, x_pad, block, window, ring_rows, f_blk, max_delta):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _sliding_impl(ws, db, s_mat, x_pad, block, window, ring_rows, max_delta):
     n_pad_dst = s_mat.shape[0]
     f_pad = x_pad.shape[1]
     num_blocks = n_pad_dst // block
     max_fill = (max(window // block, 1), max(max_delta, 1))
-    grid = (f_pad // f_blk, num_blocks)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=grid,
+        grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec((block, ring_rows), lambda j, i, ws_, db_: (i, 0),
+            pl.BlockSpec((block, ring_rows), lambda i, ws_, db_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((block, f_blk), lambda j, i, ws_, db_: (i, j),
+        out_specs=pl.BlockSpec((block, f_pad), lambda i, ws_, db_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((ring_rows, f_blk), x_pad.dtype),
+            pltpu.VMEM((ring_rows, f_pad), x_pad.dtype),
             pltpu.SemaphoreType.DMA((max_fill[0],)),
         ],
     )
@@ -576,31 +579,164 @@ def _sliding_impl(ws, db, s_mat, x_pad, block, window, ring_rows, f_blk, max_del
     )(ws, db, s_mat, x_pad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _sliding_diff(ws, db, s_mat, xp, block, window, ring_rows, f_blk, max_delta):
-    return _sliding_impl(ws, db, s_mat, xp, block, window, ring_rows, f_blk, max_delta)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _sliding_diff(ws, db, s_mat, xp, block, window, ring_rows, max_delta):
+    return _sliding_impl(ws, db, s_mat, xp, block, window, ring_rows, max_delta)
 
 
-def _sliding_fwd(ws, db, s_mat, xp, block, window, ring_rows, f_blk, max_delta):
+def _sliding_fwd(ws, db, s_mat, xp, block, window, ring_rows, max_delta):
     return (
-        _sliding_impl(ws, db, s_mat, xp, block, window, ring_rows, f_blk, max_delta),
+        _sliding_impl(ws, db, s_mat, xp, block, window, ring_rows, max_delta),
         (ws, db, s_mat),
     )
 
 
-def _sliding_bwd(block, window, ring_rows, f_blk, max_delta, res, g):
+def _sliding_bwd(block, window, ring_rows, max_delta, res, g):
     ws, db, s_mat = res
-    gx = _sliding_impl(ws, db, s_mat, g, block, window, ring_rows, f_blk, max_delta)
+    gx = _sliding_impl(ws, db, s_mat, g, block, window, ring_rows, max_delta)
     return (None, None, None, gx.astype(g.dtype))
 
 
 _sliding_diff.defvjp(_sliding_fwd, _sliding_bwd)
 
 
+# Ring VMEM budget for the sliding kernel (bytes). The ring holds
+# ``ring_rows × chunk_width`` elements; folded feature widths beyond the
+# budget are processed in column chunks (S re-streams once per chunk).
+_SLIDING_RING_VMEM_BYTES = 8 * 1024 * 1024
+
+
+def _sliding_kernel_b(window, ring_rows, max_fill, num_blocks, nb,
+                      ws_ref, db_ref, s_ref, x_hbm, out_ref, ring, sems):
+    """Batched variant: x is (B, src, F) in HBM, the ring is (B, ring, F),
+    and each destination block runs B matmuls against one streamed S tile.
+    Avoids any host-side fold transpose of the batch axis — batching costs
+    only extra DMA descriptors and MXU passes, never extra S traffic."""
+    i = pl.program_id(0)
+    block = s_ref.shape[0]
+
+    def chunk(step, k, b):
+        base = jnp.where(step == 0, ws_ref[0],
+                         ws_ref[jnp.maximum(step - 1, 0)] + window)
+        src = pl.multiple_of(base + k * block, block)
+        dst = pl.multiple_of(jax.lax.rem(src, ring_rows), block)
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(src, block), :],
+            ring.at[b, pl.ds(dst, block), :],
+            sems.at[b, k],
+        )
+
+    max_delta = max_fill[1]
+    max_fill = max_fill[0]
+
+    @pl.when(i == 0)
+    def _():
+        ring[:] = jnp.zeros_like(ring)
+        for b in range(nb):
+            for k in range(max_fill):
+                @pl.when(k < db_ref[0])
+                def _(k=k, b=b):
+                    chunk(0, k, b).start()
+        for b in range(nb):
+            for k in range(max_fill):
+                @pl.when(k < db_ref[0])
+                def _(k=k, b=b):
+                    chunk(0, k, b).wait()
+
+    @pl.when(i > 0)
+    def _():
+        for b in range(nb):
+            for k in range(max_delta):
+                @pl.when(k < db_ref[i])
+                def _(k=k, b=b):
+                    chunk(i, k, b).wait()
+
+    for b in range(nb):
+        for k in range(max_delta):
+            @pl.when((i + 1 < num_blocks)
+                     & (k < db_ref[jnp.minimum(i + 1, num_blocks - 1)]))
+            def _(k=k, b=b):
+                chunk(i + 1, k, b).start()
+
+    prec = jax.lax.Precision.HIGHEST if ring.dtype == jnp.float32 else None
+    for b in range(nb):
+        out_ref[b] = jnp.dot(
+            s_ref[:].astype(ring.dtype), ring[b],
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _sliding_impl_b(ws, db, s_mat, x_pad, block, window, ring_rows, max_delta):
+    n_pad_dst = s_mat.shape[0]
+    nb, _, f_pad = x_pad.shape
+    num_blocks = n_pad_dst // block
+    max_fill = (max(window // block, 1), max(max_delta, 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((block, ring_rows), lambda i, ws_, db_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((nb, block, f_pad), lambda i, ws_, db_: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nb, ring_rows, f_pad), x_pad.dtype),
+            pltpu.SemaphoreType.DMA((nb, max_fill[0])),
+        ],
+    )
+    kernel = functools.partial(
+        _sliding_kernel_b, window, ring_rows, max_fill, num_blocks, nb
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, n_pad_dst, f_pad), x_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * n_pad_dst * ring_rows * f_pad,
+            bytes_accessed=s_mat.size * s_mat.dtype.itemsize
+            + 2 * x_pad.size * x_pad.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(ws, db, s_mat, x_pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _sliding_diff_b(ws, db, s_mat, xp, block, window, ring_rows, max_delta):
+    return _sliding_impl_b(ws, db, s_mat, xp, block, window, ring_rows, max_delta)
+
+
+def _sliding_fwd_b(ws, db, s_mat, xp, block, window, ring_rows, max_delta):
+    return (
+        _sliding_impl_b(ws, db, s_mat, xp, block, window, ring_rows, max_delta),
+        (ws, db, s_mat),
+    )
+
+
+def _sliding_bwd_b(block, window, ring_rows, max_delta, res, g):
+    ws, db, s_mat = res
+    gx = _sliding_impl_b(ws, db, s_mat, g, block, window, ring_rows, max_delta)
+    return (None, None, None, gx.astype(g.dtype))
+
+
+_sliding_diff_b.defvjp(_sliding_fwd_b, _sliding_bwd_b)
+
+
 def spmm_sliding_dense(graph, x: Array, f_blk: int = 512) -> Array:
     """Sliding-ring streamed-S aggregation (v4): delta window DMA + one MXU
-    matmul per (block, f-tile); HBM traffic ≈ S + x + out (each read/written
-    once)."""
+    matmul per destination block over the full folded feature width; HBM
+    traffic ≈ S + x + out, each read/written once. Batched inputs fold into
+    the feature axis and share a single S stream (up to the ring's VMEM
+    budget, beyond which columns are chunked).
+
+    ``f_blk`` is accepted for API symmetry with the other kernels but the
+    column chunk width is chosen from the VMEM budget, never below it.
+    """
     from gwen_tpu.graph.graph import SlidingDenseGraph
 
     assert isinstance(graph, SlidingDenseGraph)
@@ -614,28 +750,55 @@ def spmm_sliding_dense(graph, x: Array, f_blk: int = 512) -> Array:
             f"({n_pad} padded dst, {src_rows} src)"
         )
     out_rows = n if src_rows == n_pad else n_pad
-    if leading:
-        xm = jnp.moveaxis(x.reshape((-1,) + x.shape[-2:]), 0, -1)
-        xm = xm.reshape(n, -1)
-    else:
-        xm = x
-    fold = xm.shape[1]
-    f_pad = _round_up(fold, 128)
-    f_blk_eff = min(f_blk, f_pad)
-    while f_pad % f_blk_eff:
-        f_blk_eff -= 128
-    # Pad source rows so every window/delta chunk stays in bounds.
     src_alloc = _round_up(src_rows, graph.block_size)
-    xp = jnp.zeros((src_alloc, f_pad), xm.dtype)
-    xp = xp.at[: xm.shape[0], :fold].set(xm)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    f_pad = _round_up(f, 128)
 
-    out = _sliding_diff(
-        graph.window_start, graph.delta_blocks, graph.s_mat, xp,
-        graph.block_size, graph.window_size, graph.ring_rows, f_blk_eff,
-        graph.max_delta_blocks,
-    )
-    out = out[:out_rows, :fold]
     if leading:
-        out = out.reshape(out_rows, f, -1)
-        out = jnp.moveaxis(out, -1, 0).reshape(leading + (out_rows, f))
-    return out
+        # Batched path: (B, N, F) stays in natural layout — the kernel DMAs
+        # per (batch, chunk) and runs B matmuls per streamed S tile. No fold
+        # transpose (a moveaxis+reshape costs several full passes over x,
+        # more than the kernel itself at mesh scale).
+        xb = x.reshape((-1,) + x.shape[-2:])
+        nb = xb.shape[0]
+        per_b = graph.ring_rows * f_pad * itemsize
+        if per_b > _SLIDING_RING_VMEM_BYTES:
+            # Very wide features: per-sample calls with column chunking.
+            out = jnp.stack([spmm_sliding_dense(graph, xb[b])
+                             for b in range(nb)])
+            return out.reshape(leading + out.shape[-2:])
+        nb_chunk = max(_SLIDING_RING_VMEM_BYTES // per_b, 1)
+        xp = jnp.zeros((nb, src_alloc, f_pad), x.dtype)
+        xp = xp.at[:, :n, :f].set(xb)
+        outs = []
+        for b0 in range(0, nb, nb_chunk):
+            outs.append(_sliding_diff_b(
+                graph.window_start, graph.delta_blocks, graph.s_mat,
+                xp[b0:b0 + nb_chunk],
+                graph.block_size, graph.window_size, graph.ring_rows,
+                graph.max_delta_blocks,
+            ))
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        out = out[:, :out_rows, :f]
+        return out.reshape(leading + out.shape[-2:])
+
+    # Unbatched path: column chunk width = whole feature width if the ring
+    # fits the VMEM budget, else the largest 128-multiple that does.
+    w_budget = _SLIDING_RING_VMEM_BYTES // (graph.ring_rows * itemsize)
+    w_chunk = max((w_budget // 128) * 128, 128)
+    w_chunk = min(w_chunk, f_pad)
+    # Pad source rows so every window/delta chunk stays in bounds.
+    xp = jnp.zeros((src_alloc, f_pad), x.dtype)
+    xp = xp.at[:n, :f].set(x)
+
+    outs = []
+    for c0 in range(0, f_pad, w_chunk):
+        w = min(w_chunk, f_pad - c0)
+        outs.append(_sliding_diff(
+            graph.window_start, graph.delta_blocks, graph.s_mat,
+            xp[:, c0:c0 + w],
+            graph.block_size, graph.window_size, graph.ring_rows,
+            graph.max_delta_blocks,
+        ))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return out[:out_rows, :f]

@@ -55,9 +55,68 @@ def timeit(
     return {"mean_s": dt, "iters": iters}
 
 
+def scan_timeit(
+    body: Callable,
+    carry,
+    *invariant,
+    iters: int = 100,
+    repeats: int = 3,
+) -> dict:
+    """Per-iteration time of ``body(carry, *invariant) -> carry`` via an
+    on-device ``lax.scan`` chain with difference-method readout.
+
+    This is the trustworthy timer for ms-scale kernels on the remote (axon)
+    runtime, where a Python-level dispatch chain pays ~1 ms issue cost per
+    iteration and a dispatch+readback round trip costs ~25 ms:
+
+    * the loop runs ON DEVICE (one dispatch per measurement),
+    * the chain threads ``carry`` through every iteration (nothing is deduped
+      or hoisted), and
+    * the reported time is ``(T(2N) - T(N)) / N`` so every fixed cost
+      (dispatch, readback round trip, probe) cancels exactly.
+
+    ``invariant`` args are passed through as jit *arguments* — never close
+    over device arrays in ``body`` (big closed-over constants are inlined
+    into the program and blow up remote compiles).
+    """
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def many(n, c, *inv):
+        return jax.lax.scan(
+            lambda cc, _: (body(cc, *inv), None), c, None, length=n
+        )[0]
+
+    c = many(iters, carry, *invariant)  # compile + warm (N)
+    _fetch_one(c)
+    c = many(2 * iters, c, *invariant)  # compile + warm (2N)
+    _fetch_one(c)
+    times = []
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        c = many(iters, c, *invariant)
+        _fetch_one(c)
+        t1 = time.perf_counter()
+        c = many(2 * iters, c, *invariant)
+        _fetch_one(c)
+        t2 = time.perf_counter()
+        times.append(((t2 - t1) - (t1 - t0)) / iters)
+    times.sort()
+    return {"mean_s": times[len(times) // 2], "iters": iters}
+
+
 @jax.jit
 def _probe_first(a):
     return a.ravel()[0].astype("float32")
+
+
+def _fetch_one(out) -> float:
+    """Readback barrier through the first array leaf only (one 4-byte
+    transfer — each readback is a full round trip on remote runtimes)."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            return float(_probe_first(leaf))
+    return 0.0
 
 
 def _fetch_scalar(out) -> float:
