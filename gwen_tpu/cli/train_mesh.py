@@ -81,23 +81,37 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
     from gwen_tpu.train.tasks import mesh_graph_loss_fn
 
     if use_partition:
-        if tcfg.rollout_horizon > 1 or tcfg.loss == "crps-ensemble":
-            raise ValueError(
-                "rollout_horizon>1 / loss=crps-ensemble are not yet wired for "
-                "the partitioned (mesh.graph_axis>1) path — run unpartitioned "
-                "or use loss=mse/l1"
-            )
         mesh = make_mesh(data=n_dev // graph_parts, graph=graph_parts)
         pg = partition_graph(s2, r2, n, num_parts=graph_parts, reorder=False)
         apply_fn = make_partitioned_apply(model, pg, mesh)
         fields = pg.pad_nodes(fields)
-        global_graph = build_graph(s2, r2, n)  # for noise correlation
+        global_graph = build_graph(s2, r2, n)  # for skill eval / calibration
         context = apply_fn.tables
 
-        def loss_fn(params, batch, tables):
-            x, y = batch
-            preds = apply_fn(params, x, tables)
-            return jnp.mean((preds - y) ** 2), preds
+        if tcfg.rollout_horizon > 1:
+            from gwen_tpu.train.tasks import partitioned_rollout_loss_fn
+
+            loss_fn = partitioned_rollout_loss_fn(
+                apply_fn, tcfg.rollout_horizon,
+                loss=tcfg.loss if tcfg.loss in ("mse", "l1") else "mse",
+            )
+        elif tcfg.loss == "crps-ensemble":
+            from gwen_tpu.train.tasks import partitioned_ensemble_crps_loss_fn
+
+            # Noise correlation over the padded node space (isolated pad
+            # rows get white self-loop noise — harmless).
+            noise_graph = build_graph(s2, r2, fields.shape[2])
+            loss_fn = partitioned_ensemble_crps_loss_fn(
+                apply_fn, noise_graph,
+                num_members=tcfg.crps_members, sigma=tcfg.sigma,
+            )
+        else:
+            def loss_fn(params, batch, tables):
+                x, y = batch
+                preds = apply_fn(params, x, tables)
+                if tcfg.loss == "l1":
+                    return jnp.mean(jnp.abs(preds - y)), preds
+                return jnp.mean((preds - y) ** 2), preds
     else:
         mesh = None
         g = build_graph(s2, r2, n)
@@ -154,11 +168,11 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
         run=run, checkpointer=ckpt, log_every=tcfg.log_every,
     )
 
-    if not use_partition and tcfg.rollout_horizon > 1:
+    if tcfg.rollout_horizon > 1:
         batches = lambda ep: ds.trajectory_batches(  # noqa: E731
             tcfg.batch_size, tcfg.rollout_horizon, shuffle=True, seed=ep
         )
-    elif not use_partition and tcfg.loss == "crps-ensemble":
+    elif tcfg.loss == "crps-ensemble":
         def batches(ep):
             for i, (x, y) in enumerate(ds.batches(tcfg.batch_size, shuffle=True, seed=ep)):
                 yield (x, y, jax.random.key(ep * 100003 + i))

@@ -163,6 +163,72 @@ def ensemble_crps_loss_fn(
     return loss_fn
 
 
+def partitioned_rollout_loss_fn(apply_fn: Callable, horizon: int,
+                                loss: str = "mse") -> Callable:
+    """Rollout-horizon training through the shard_map-wrapped partitioned
+    apply (``gwen_tpu.parallel.make_partitioned_apply``).
+
+    Context-aware: ``loss_fn(params, (x0, traj), tables)`` — the partition
+    tables thread through the Trainer context as jit arguments. ``x0`` and
+    ``traj`` are in the *padded* global node space (``pg.pad_nodes``).
+    """
+    import jax
+
+    def loss_fn(params, batch, tables):
+        x0, traj = batch
+
+        def step(carry, _):
+            nxt = apply_fn(params, carry, tables)
+            return nxt, nxt
+
+        _, preds = jax.lax.scan(step, x0, None, length=horizon)
+        preds = jnp.moveaxis(preds, 0, 1)  # (B, H, N, C)
+        if loss == "mse":
+            value = jnp.mean((preds - traj) ** 2)
+        else:
+            value = jnp.mean(jnp.abs(preds - traj))
+        return value, preds
+
+    return loss_fn
+
+
+def partitioned_ensemble_crps_loss_fn(
+    apply_fn: Callable,
+    noise_graph,
+    num_members: int = 4,
+    sigma: float = 0.05,
+    smoothing_steps: int = 2,
+) -> Callable:
+    """Fair-ensemble-CRPS training through the partitioned apply.
+
+    Perturbation noise is correlated with ``noise_graph`` — a COO graph over
+    the *padded* global node space, evaluated outside shard_map (replicated;
+    O(edges) tables). The K-member forecast fan-out rides the partitioned
+    apply, so ``batch_size * num_members`` must divide the ``data`` mesh
+    axis evenly (shard_map sharding constraint).
+
+    Context-aware: ``loss_fn(params, (x, y, key), tables)``.
+    """
+    import jax
+
+    from gwen_tpu import ensemble
+
+    def loss_fn(params, batch, tables):
+        x, y, key = batch  # padded global node space
+        b = x.shape[0]
+        keys = jax.random.split(key, b)
+        xs = jax.vmap(lambda xi, ki: ensemble.sample_perturbed_members(
+            ki, xi, num_members, sigma, graph=noise_graph,
+            smoothing_steps=smoothing_steps))(x, keys)  # (B, K, N, C)
+        xs = xs.reshape((b * num_members,) + x.shape[1:])
+        preds = apply_fn(params, xs, tables)
+        preds = preds.reshape((b, num_members) + y.shape[1:])
+        crps = losses.crps_ensemble(preds, y, ensemble_axis=1, fair=True)
+        return crps, jnp.mean(preds, axis=1)
+
+    return loss_fn
+
+
 def rollout_loss_fn(model, horizon: int, loss: str = "mse") -> Callable:
     """Multi-step (rollout-horizon) training: autoregress ``horizon`` steps
     and penalize the whole trajectory — curbs the error accumulation that

@@ -137,6 +137,11 @@ class Trainer:
             return jax.tree_util.tree_map(jnp.asarray, batch)
 
         def put(leaf):
+            if hasattr(leaf, "dtype") and jax.dtypes.issubdtype(
+                getattr(leaf, "dtype", None), jax.dtypes.prng_key
+            ):
+                # Typed PRNG keys can't round-trip through numpy; replicate.
+                return jax.device_put(leaf, replicated(self.mesh))
             arr = np.asarray(leaf)
             n_data = self.mesh.shape[self.mesh.axis_names[0]]
             if arr.ndim >= 1 and arr.shape[0] % n_data == 0 and arr.shape[0] > 1:

@@ -158,3 +158,96 @@ def test_partitioned_dense_s_matches_global():
     xp = jnp.asarray(pg.pad_nodes(x))
     got = np.asarray(jax.jit(apply)(params, xp))[:, :n, :]
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_partitioned_rollout_loss_matches_global_preds():
+    """partitioned_rollout_loss_fn's trajectory == global model rollout."""
+    from gwen_tpu.train.tasks import partitioned_rollout_loss_fn
+
+    verts, s, r = icosphere_edges(3)
+    n = verts.shape[0]
+    pg = partition_graph(s, r, n, num_parts=2, block_size=32)
+    g_ref, perm = _global_reference_graph(s, r, n)
+    model = EncodeProcessDecode(
+        channels_in=4, channels_out=4, latent_size=8, process_steps=1,
+        backend="segment",
+    )
+    params = model.init(jax.random.key(0))
+    dp = len(jax.devices()) // 2
+    mesh = make_mesh(data=dp, graph=2)
+    apply = make_partitioned_apply(model, pg, mesh)
+
+    horizon = 2
+    rng = np.random.default_rng(7)
+    x0 = rng.normal(size=(dp, n, 4)).astype(np.float32)
+    traj = rng.normal(size=(dp, horizon, n, 4)).astype(np.float32)
+    x0p = jnp.asarray(pg.pad_nodes(x0))
+    trajp = jnp.asarray(pg.pad_nodes(traj))
+
+    loss_fn = partitioned_rollout_loss_fn(apply, horizon)
+    value, preds = jax.jit(loss_fn)(params, (x0p, trajp), apply.tables)
+    assert np.isfinite(float(value))
+
+    # Global rollout on the RCM-ordered graph.
+    xg = jnp.asarray(np.take(x0, perm, axis=1))
+    want = []
+    cur = xg
+    for _ in range(horizon):
+        cur = model.apply(params, g_ref, cur)
+        want.append(np.asarray(cur))
+    want = np.stack(want, axis=1)  # (dp, H, n, 4)
+    np.testing.assert_allclose(
+        np.asarray(preds)[:, :, :n, :], want, rtol=2e-4, atol=2e-4
+    )
+
+    grads = jax.jit(
+        jax.grad(lambda p: loss_fn(p, (x0p, trajp), apply.tables)[0])
+    )(params)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_partitioned_ensemble_crps_loss_runs():
+    """CRPS-ensemble training through the partitioned apply: finite loss and
+    gradients; ensemble-mean preds shaped like the target."""
+    from gwen_tpu.train.tasks import partitioned_ensemble_crps_loss_fn
+
+    verts, s, r = icosphere_edges(3)
+    n = verts.shape[0]
+    pg = partition_graph(s, r, n, num_parts=2, block_size=32)
+    model = EncodeProcessDecode(
+        channels_in=4, channels_out=4, latent_size=8, process_steps=1,
+        backend="segment",
+    )
+    params = model.init(jax.random.key(0))
+    dp = len(jax.devices()) // 2
+    mesh = make_mesh(data=dp, graph=2)
+    apply = make_partitioned_apply(model, pg, mesh)
+
+    # Noise graph over the padded node space, in the partitioner's order.
+    perm = pg.perm
+    s2, r2 = perm.argsort()[s], perm.argsort()[r]
+    from gwen_tpu.graph import build_graph as _bg
+    noise_graph = _bg(s2, r2, pg.padded_nodes)
+
+    rng = np.random.default_rng(9)
+    # B*K must divide the data axis: B=dp, K=2 with dp in {2, 4}.
+    x = rng.normal(size=(dp, n, 4)).astype(np.float32)
+    y = rng.normal(size=(dp, n, 4)).astype(np.float32)
+    xp = jnp.asarray(pg.pad_nodes(x))
+    yp = jnp.asarray(pg.pad_nodes(y))
+
+    loss_fn = partitioned_ensemble_crps_loss_fn(
+        apply, noise_graph, num_members=2, sigma=0.05
+    )
+    value, preds = jax.jit(loss_fn)(
+        params, (xp, yp, jax.random.key(3)), apply.tables
+    )
+    assert np.isfinite(float(value))
+    assert preds.shape == yp.shape
+    grads = jax.jit(
+        jax.grad(lambda p: loss_fn(p, (xp, yp, jax.random.key(3)),
+                                   apply.tables)[0])
+    )(params)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
