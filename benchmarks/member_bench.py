@@ -38,7 +38,7 @@ def main() -> None:
 
     from gwen_tpu.graph import build_graph, complete_edges, to_dense
     from gwen_tpu.nn import GCNStack
-    from gwen_tpu.train import TrainState, Trainer, gnn_loss_fn
+    from gwen_tpu.train import TrainState, gnn_loss_fn
 
     members = int(os.environ.get("GWEN_MB_MEMBERS", "125"))
     feats = int(os.environ.get("GWEN_MB_FEATURES", "65536"))
@@ -54,23 +54,29 @@ def main() -> None:
     )
     params = model.init(jax.random.key(0))
     opt = optax.adam(1e-4)
-    trainer = Trainer(loss_fn=gnn_loss_fn(model, graph), optimizer=opt)
     state = TrainState.create(params, opt)
 
     x = jax.random.normal(jax.random.key(1), (batch, members, feats), jnp.float32)
     mask = jnp.zeros((members,), bool).at[members - 1 :].set(True)
     batch_data = {"x": x, "mask": mask}
 
-    step = trainer._train_step
-    state, loss = step(state, batch_data, None)
-    float(loss)  # compile + full execution (readback barrier)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, loss = step(state, batch_data, None)  # chained through state
-    # Scalar readback: block_until_ready can return early on the remote
-    # runtime; fetching the chained loss forces every step to execute.
-    float(loss)
-    dt = (time.perf_counter() - t0) / iters
+    # On-device scan chain + difference-method readout (see
+    # gwen_tpu.profiling.scan_timeit) — a Python dispatch chain pays ~1 ms
+    # issue cost per iteration through the relay.
+    from gwen_tpu.profiling import scan_timeit
+
+    loss_fn = gnn_loss_fn(model, graph)
+
+    def train_step(st, bd):
+        def loss(p):
+            return loss_fn(p, bd)[0]
+
+        lval, grads = jax.value_and_grad(loss)(st.params)
+        updates, opt_state = opt.update(grads, st.opt_state, st.params)
+        return TrainState(params=optax.apply_updates(st.params, updates),
+                          opt_state=opt_state, step=st.step + 1)
+
+    dt = scan_timeit(train_step, state, batch_data, iters=iters)["mean_s"]
 
     # Model FLOPs per step: fwd+bwd ≈ 3x fwd; fwd = per-layer 2*B*M*(din*dout)
     widths = model.widths

@@ -218,6 +218,21 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
         skill_model, state.params, global_graph, base, jax.random.key(7),
         num_members=members, num_steps=horizon, sigma=sigma,
     )
+    inflation = tcfg.inflation
+    if tcfg.calibrate_inflation and fields.shape[1] > 1:
+        # Closed-form: calibrate on a *validation* member (not the held-out
+        # one), then apply to the held-out generation.
+        vbase = jnp.asarray(fields[0, 0, :n] if use_partition else fields[0, 0])
+        vtruth = jnp.asarray(fields[1 : 1 + horizon, 0, :n] if use_partition
+                             else fields[1 : 1 + horizon, 0])
+        vgen = ensemble.generate_ensemble(
+            skill_model, state.params, global_graph, vbase, jax.random.key(13),
+            num_members=members, num_steps=horizon, sigma=sigma,
+        )
+        inflation = ensemble.calibrate_inflation(vgen, vtruth, ensemble_axis=0)
+        run.log_metric("calibrated_inflation", inflation)
+    if inflation != 1.0:
+        gen = ensemble.inflate_ensemble(gen, inflation, ensemble_axis=0)
     skill = ensemble.ensemble_skill(gen, truth, ensemble_axis=0)
     for k, v in skill.items():
         run.log_metric(f"skill_{k}", v)

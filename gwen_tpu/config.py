@@ -133,6 +133,11 @@ class TrainConfig:
     crps_members: int = 4
     sigma: float = 0.05
     calibrate_sigma: bool = False
+    # Multiplicative ensemble inflation (spread fix for under-dispersive
+    # ensembles): fixed factor, or closed-form calibration on a validation
+    # ensemble (spread scales linearly; factor = target_ratio / ratio).
+    inflation: float = 1.0
+    calibrate_inflation: bool = False
     # LR schedule (reference's CyclicLR is disabled with a DDP bug note,
     # train_gnn.py:112-119; these are pure step functions and just work).
     scheduler: str = "none"  # "none" | "cosine" | "cyclic"

@@ -135,6 +135,44 @@ def generate_ensemble(
     return jax.vmap(roll_one)(members)
 
 
+def inflate_ensemble(
+    generated: Array,
+    factor,
+    ensemble_axis: int = 0,
+) -> Array:
+    """Multiplicative ensemble inflation: scale each member's deviation from
+    the ensemble mean by ``factor``.
+
+    The standard post-hoc fix for under-dispersive ensembles (spread/error
+    ratio < 1): inflation leaves the ensemble mean — and hence its RMSE —
+    unchanged while scaling the spread linearly, so ``factor ≈ 1/ratio``
+    restores calibration. No reference analog (the reference never measures
+    spread); see :func:`calibrate_inflation`.
+    """
+    mean = jnp.mean(generated, axis=ensemble_axis, keepdims=True)
+    return mean + factor * (generated - mean)
+
+
+def calibrate_inflation(
+    generated: Array,
+    reference: Array,
+    ensemble_axis: int = 0,
+    target_ratio: float = 1.0,
+    max_factor: float = 10.0,
+) -> float:
+    """Closed-form inflation factor from one validation ensemble.
+
+    Spread scales linearly with the inflation factor while the ensemble-mean
+    RMSE is invariant, so the factor that moves the spread/error ratio to
+    ``target_ratio`` is simply ``target_ratio / current_ratio`` (clamped).
+    """
+    skill = ensemble_skill(generated, reference, ensemble_axis)
+    ratio = skill["spread_error_ratio"]
+    if not (ratio > 0):
+        return 1.0
+    return float(min(max(target_ratio / ratio, 1.0 / max_factor), max_factor))
+
+
 def calibrate_sigma(
     model,
     params,

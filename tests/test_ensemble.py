@@ -198,3 +198,39 @@ def test_rollout_training_and_sigma_calibration():
     assert cal["best_sigma"] in (0.01, 0.1)
     assert len(cal["table"]) == 2
     assert all(np.isfinite(row["crps"]) for row in cal["table"])
+
+
+def test_inflation_calibration_restores_spread():
+    """inflate_ensemble scales spread linearly without moving the mean, and
+    calibrate_inflation's closed-form factor lands the spread/error ratio on
+    target."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gwen_tpu import ensemble
+
+    rng = np.random.default_rng(0)
+    truth = rng.normal(size=(6, 50, 3)).astype(np.float32)
+    # Under-dispersive ensemble: tiny perturbations around a biased mean.
+    gen = truth[None] + 0.5 + 0.05 * rng.normal(size=(8, 6, 50, 3)).astype(np.float32)
+    gen = jnp.asarray(gen)
+    truth = jnp.asarray(truth)
+
+    before = ensemble.ensemble_skill(gen, truth, ensemble_axis=0)
+    assert before["spread_error_ratio"] < 0.5
+
+    factor = ensemble.calibrate_inflation(gen, truth, ensemble_axis=0)
+    assert factor > 1.0
+    inflated = ensemble.inflate_ensemble(gen, factor, ensemble_axis=0)
+
+    # Mean (and hence its RMSE) unchanged.
+    np.testing.assert_allclose(
+        np.asarray(jnp.mean(inflated, axis=0)),
+        np.asarray(jnp.mean(gen, axis=0)), rtol=1e-5, atol=1e-5,
+    )
+    after = ensemble.ensemble_skill(inflated, truth, ensemble_axis=0)
+    assert abs(after["spread_error_ratio"] - 1.0) < 0.05
+    np.testing.assert_allclose(
+        after["rmse_ensemble_mean"], before["rmse_ensemble_mean"], rtol=1e-5
+    )
