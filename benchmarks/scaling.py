@@ -138,8 +138,9 @@ def main() -> None:
     except Exception:
         pass
     levels = [int(a) for a in sys.argv[1:]] or [5, 6, 7]
+    batch = int(os.environ.get("GWEN_SCALING_BATCH", "1"))
     for lv in levels:
-        res = bench_level(lv)
+        res = bench_level(lv, batch=batch)
         print(json.dumps(res), flush=True)
 
 
