@@ -239,3 +239,49 @@ def test_spmm_wrong_rows_raises():
     g, be, n = _mesh_graph()
     with np.testing.assert_raises(ValueError):
         spmm_block_ell(be, jnp.zeros((n + 1, 8)))
+
+
+def test_spmm_sliding_dense_chunked_paths(monkeypatch):
+    """Tiny VMEM ring budget forces both fallbacks: batch chunking (nb_chunk
+    < B) and per-sample column chunking — results must match segment."""
+    from gwen_tpu.graph import to_sliding_dense
+    from gwen_tpu.ops import spmm_pallas
+    from gwen_tpu.ops.spmm_pallas import spmm_sliding_dense
+
+    g, _, n = _mesh_graph(levels=3)
+    sd = to_sliding_dense(g, block_size=32)
+    rng = np.random.default_rng(13)
+
+    # Budget fits exactly one (ring, 128) f32 slab -> batched path splits
+    # into single-sample chunks.
+    one_slab = sd.ring_rows * 128 * 4
+    monkeypatch.setattr(spmm_pallas, "_SLIDING_RING_VMEM_BYTES", one_slab)
+    xb = jnp.asarray(rng.normal(size=(3, n, 8)).astype(np.float32))
+    got = spmm_sliding_dense(sd, xb)
+    want = jax.vmap(lambda x: aggregate_segment(g, x))(xb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    # Wide unbatched features with the same budget -> column-chunk loop
+    # (f_pad 256 > w_chunk 128).
+    x = jnp.asarray(rng.normal(size=(n, 200)).astype(np.float32))
+    got = spmm_sliding_dense(sd, x)
+    want = aggregate_segment(g, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    # Budget below one slab: batched path falls back to per-sample calls
+    # (which then column-chunk internally).
+    monkeypatch.setattr(spmm_pallas, "_SLIDING_RING_VMEM_BYTES", one_slab // 2)
+    got = spmm_sliding_dense(sd, xb)
+    want = jax.vmap(lambda x: aggregate_segment(g, x))(xb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    # Gradients flow through the chunked paths.
+    f = lambda xx: jnp.sum(jnp.sin(spmm_sliding_dense(sd, xx)))
+    fr = lambda xx: jnp.sum(jnp.sin(aggregate_segment(g, xx)))
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(x)), np.asarray(jax.grad(fr)(x)),
+        rtol=1e-4, atol=1e-4,
+    )
