@@ -78,6 +78,12 @@ def main() -> None:
 
     dt = scan_timeit(train_step, state, batch_data, iters=iters)["mean_s"]
 
+    # Sanity: one real step must produce a finite loss — a silently
+    # diverging/NaN configuration should fail the benchmark, not report a
+    # timing number.
+    loss_val = float(loss_fn(state.params, batch_data)[0])
+    assert jnp.isfinite(loss_val), f"non-finite train loss: {loss_val}"
+
     # Model FLOPs per step: fwd+bwd ≈ 3x fwd; fwd = per-layer 2*B*M*(din*dout)
     widths = model.widths
     fwd_flops = sum(

@@ -75,10 +75,13 @@ def main(config: GwenConfig, animate: bool = True, out_dir: str = "output") -> d
     run = registry.create_run(experiment, config.to_dict(), config.run.run_name)
     ckpt = Checkpointer(Path(config.run.registry_root) / "checkpoints" / run.run_id,
                         max_to_keep=tcfg.max_checkpoints)
+    from jax.sharding import PartitionSpec as P
+
     trainer = Trainer(
         loss_fn=cnn_loss_fn(model, spatial_mask=spatial_mask),
         optimizer=opt, mesh=mesh, run=run, checkpointer=ckpt,
         log_every=tcfg.log_every,
+        batch_spec=(P("data"), P("data")),  # (x, y) batch-leading pairs
     )
 
     best = float("inf")

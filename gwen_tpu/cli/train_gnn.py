@@ -86,12 +86,20 @@ def main(config: GwenConfig, animate: bool = True, out_dir: str = "output") -> d
     run = registry.create_run(experiment, config.to_dict(), config.run.run_name)
     ckpt = Checkpointer(Path(config.run.registry_root) / "checkpoints" / run.run_id,
                         max_to_keep=tcfg.max_checkpoints)
+    from jax.sharding import PartitionSpec as P
+
+    # Explicit per-leaf sharding: x/target batch over the data axis; the
+    # member mask is replicated (its length is the member count, which may
+    # happen to divide the device count — never shard it).
+    def batch_spec(batch):
+        return {k: (P() if k == "mask" else P("data")) for k in batch}
+
     trainer = Trainer(
         loss_fn=gnn_loss_fn(model, graph, loss=tcfg.loss,
                             mask_threshold_mask=feat_mask,
                             var_reg_alpha=tcfg.var_reg_alpha),
         optimizer=opt, mesh=mesh, run=run, checkpointer=ckpt,
-        log_every=tcfg.log_every,
+        log_every=tcfg.log_every, batch_spec=batch_spec,
     )
 
     best = float("inf")

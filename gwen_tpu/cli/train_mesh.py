@@ -98,11 +98,24 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
         elif tcfg.loss == "crps-ensemble":
             from gwen_tpu.train.tasks import partitioned_ensemble_crps_loss_fn
 
+            # shard_map constraint: the K-member fan-out batch must divide
+            # the data mesh axis. Fail here with the constraint spelled out
+            # instead of an opaque sharding error deep inside jit.
+            n_data = n_dev // graph_parts
+            if (tcfg.batch_size * tcfg.crps_members) % n_data:
+                raise ValueError(
+                    f"batch_size * crps_members = {tcfg.batch_size} * "
+                    f"{tcfg.crps_members} must divide the data mesh axis "
+                    f"({n_data}) for partitioned CRPS-ensemble training"
+                )
             # Noise correlation over the padded node space (isolated pad
-            # rows get white self-loop noise — harmless).
+            # rows get white self-loop noise — harmless). Threads through
+            # the Trainer context with the tables (jit arguments, never
+            # closed-over constants — mesh-scale rule).
             noise_graph = build_graph(s2, r2, fields.shape[2])
+            context = (apply_fn.tables, noise_graph)
             loss_fn = partitioned_ensemble_crps_loss_fn(
-                apply_fn, noise_graph,
+                apply_fn,
                 num_members=tcfg.crps_members, sigma=tcfg.sigma,
             )
         else:
@@ -163,9 +176,29 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
         Path(config.run.registry_root) / "checkpoints" / run.run_id,
         max_to_keep=tcfg.max_checkpoints,
     )
+    batch_spec = None
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        def batch_spec(batch):
+            # Node fields: batch over "data", node axis (-2) over "graph".
+            # Scalars / PRNG keys replicate.
+            def sp(leaf):
+                nd = getattr(leaf, "ndim", 0)
+                if nd == 0:
+                    return P()
+                spec = [None] * nd
+                spec[0] = "data"
+                if nd >= 3:
+                    spec[-2] = "graph"
+                return P(*spec)
+
+            return jax.tree_util.tree_map(sp, batch)
+
     trainer = Trainer(
         loss_fn=loss_fn, optimizer=opt, mesh=mesh, context=context,
         run=run, checkpointer=ckpt, log_every=tcfg.log_every,
+        batch_spec=batch_spec,
     )
 
     if tcfg.rollout_horizon > 1:

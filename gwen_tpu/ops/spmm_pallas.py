@@ -322,7 +322,7 @@ def spmm_block_tiles(graph, x: Array, f_blk: int = 512) -> Array:
             f"x has {n} node rows; graph expects {graph.num_nodes} "
             f"({n_pad} padded dst, {src_rows} src)"
         )
-    out_rows = n if src_rows == n_pad or n != src_rows else n_pad
+    out_rows = n if src_rows == n_pad else n_pad
     if leading:
         xm = jnp.moveaxis(x.reshape((-1,) + x.shape[-2:]), 0, -1)
         xm = xm.reshape(n, -1)
@@ -727,15 +727,17 @@ def _sliding_bwd_b(block, window, ring_rows, max_delta, res, g):
 _sliding_diff_b.defvjp(_sliding_fwd_b, _sliding_bwd_b)
 
 
-def spmm_sliding_dense(graph, x: Array, f_blk: int = 512) -> Array:
+def spmm_sliding_dense(graph, x: Array, f_blk: "int | None" = None) -> Array:
     """Sliding-ring streamed-S aggregation (v4): delta window DMA + one MXU
     matmul per destination block over the full folded feature width; HBM
     traffic ≈ S + x + out, each read/written once. Batched inputs fold into
     the feature axis and share a single S stream (up to the ring's VMEM
     budget, beyond which columns are chunked).
 
-    ``f_blk`` is accepted for API symmetry with the other kernels but the
-    column chunk width is chosen from the VMEM budget, never below it.
+    ``f_blk`` (optional) is an upper bound on the column chunk width
+    (rounded up to a lane multiple of 128); by default the chunk width is
+    derived from the ring's VMEM budget — the fastest choice, since every
+    extra column chunk re-streams S once.
     """
     from gwen_tpu.graph.graph import SlidingDenseGraph
 
@@ -786,6 +788,8 @@ def spmm_sliding_dense(graph, x: Array, f_blk: int = 512) -> Array:
     # fits the VMEM budget, else the largest 128-multiple that does.
     w_budget = _SLIDING_RING_VMEM_BYTES // (graph.ring_rows * itemsize)
     w_chunk = max((w_budget // 128) * 128, 128)
+    if f_blk is not None:
+        w_chunk = min(w_chunk, max(_round_up(f_blk, 128), 128))
     w_chunk = min(w_chunk, f_pad)
     # Pad source rows so every window/delta chunk stays in bounds.
     xp = jnp.zeros((src_alloc, f_pad), x.dtype)

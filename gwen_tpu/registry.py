@@ -41,6 +41,32 @@ from gwen_tpu.logging_utils import get_logger
 log = get_logger()
 
 
+def _environment_snapshot() -> dict:
+    """Versions of the stack that produced a model artifact (reference pins
+    pip requirements with the best model, models_cnn.py:553-559)."""
+    import platform
+    import sys
+
+    versions = {}
+    for mod in ("jax", "jaxlib", "flax", "optax", "orbax.checkpoint", "numpy"):
+        try:
+            m = __import__(mod)
+            for part in mod.split(".")[1:]:
+                m = getattr(m, part)
+            versions[mod] = getattr(m, "__version__", "unknown")
+        except Exception:  # pragma: no cover - optional deps
+            versions[mod] = "unavailable"
+    from gwen_tpu.version import __version__ as gwen_version
+
+    return {
+        "gwen_tpu": gwen_version,
+        "python": sys.version.split()[0],
+        "platform": platform.platform(),
+        "hostname": socket.gethostname(),
+        "packages": versions,
+    }
+
+
 def default_experiment(base: str = "GWEN") -> str:
     """Experiment name, site-suffixed like the reference's hostname sniffing."""
     site = os.environ.get("GWEN_SITE")
@@ -91,8 +117,19 @@ class Run:
         art.mkdir(exist_ok=True)
         (art / "params.msgpack").write_bytes(serialization.to_bytes(params))
         (art / "model.json").write_text(json.dumps(model_config, indent=2, default=str))
+        # Environment pinning alongside the artifact (reference logs pip
+        # requirements with the best model, models_cnn.py:553-559) — the
+        # stack versions that produced these params, for reproducibility.
+        (art / "environment.json").write_text(
+            json.dumps(_environment_snapshot(), indent=2)
+        )
         if best_metric is not None:
             self._update_meta(best_metric=float(best_metric))
+
+    def environment(self) -> dict:
+        """The pinned environment saved with the model artifact (if any)."""
+        p = self.path / "artifacts" / "environment.json"
+        return json.loads(p.read_text()) if p.exists() else {}
 
     def load_model(self, params_template=None):
         art = self.path / "artifacts"

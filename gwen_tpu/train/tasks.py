@@ -194,26 +194,29 @@ def partitioned_rollout_loss_fn(apply_fn: Callable, horizon: int,
 
 def partitioned_ensemble_crps_loss_fn(
     apply_fn: Callable,
-    noise_graph,
     num_members: int = 4,
     sigma: float = 0.05,
     smoothing_steps: int = 2,
 ) -> Callable:
     """Fair-ensemble-CRPS training through the partitioned apply.
 
-    Perturbation noise is correlated with ``noise_graph`` — a COO graph over
+    Perturbation noise is correlated with a noise graph — a COO graph over
     the *padded* global node space, evaluated outside shard_map (replicated;
     O(edges) tables). The K-member forecast fan-out rides the partitioned
     apply, so ``batch_size * num_members`` must divide the ``data`` mesh
     axis evenly (shard_map sharding constraint).
 
-    Context-aware: ``loss_fn(params, (x, y, key), tables)``.
+    Context-aware: ``loss_fn(params, (x, y, key), (tables, noise_graph))`` —
+    both the partition tables AND the noise graph thread through the Trainer
+    context as jit *arguments* (closed-over O(edges) numpy tables would be
+    inlined as compile-time constants; see Trainer docstring).
     """
     import jax
 
     from gwen_tpu import ensemble
 
-    def loss_fn(params, batch, tables):
+    def loss_fn(params, batch, context):
+        tables, noise_graph = context
         x, y, key = batch  # padded global node space
         b = x.shape[0]
         keys = jax.random.split(key, b)

@@ -29,6 +29,8 @@ import numpy as np
 import optax
 from flax import struct
 
+from jax.sharding import NamedSharding, PartitionSpec
+
 from gwen_tpu.data.pipeline import prefetch
 from gwen_tpu.logging_utils import get_logger
 from gwen_tpu.registry import Run
@@ -74,6 +76,7 @@ class Trainer:
         checkpointer: Optional[Checkpointer] = None,
         log_every: int = 10,
         context: Any = None,
+        batch_spec: Any = None,
     ):
         """``context`` is an optional pytree of device arrays (typically the
         graph container) passed to every jitted step as an *argument* —
@@ -81,13 +84,23 @@ class Trainer:
         inlined into the program as constants, which bloats compiles (and
         overflows remote-compile payloads) for multi-GB graph tables. With a
         context, ``loss_fn(params, batch, context)``; without,
-        ``loss_fn(params, batch)``."""
+        ``loss_fn(params, batch)``.
+
+        ``batch_spec`` declares how batches shard over the mesh: a pytree of
+        ``jax.sharding.PartitionSpec`` matching each batch's structure, or a
+        callable ``batch -> spec pytree`` (for tasks whose batch structure
+        varies). With a mesh and no ``batch_spec``, a leading-axis
+        divisibility heuristic is used — explicit specs are strongly
+        preferred: the heuristic would silently mis-shard any replicated
+        leaf whose leading dim happens to divide the data-axis size (e.g. a
+        128-member target mask on 8 devices)."""
         self.loss_fn = loss_fn
         self.optimizer = optimizer
         self.mesh = mesh
         self.run = run
         self.checkpointer = checkpointer
         self.log_every = log_every
+        self.batch_spec = batch_spec
         # Place the context on device once — numpy-leaf graph containers
         # passed as jit args would otherwise re-transfer every step.
         self.context = None if context is None else jax.device_put(context)
@@ -132,15 +145,40 @@ class Trainer:
         return jax.jit(step)
 
     # ------------------------------------------------------------ data flow
+    @staticmethod
+    def _is_key(leaf) -> bool:
+        return hasattr(leaf, "dtype") and jax.dtypes.issubdtype(
+            getattr(leaf, "dtype", None), jax.dtypes.prng_key
+        )
+
     def _shard_batch(self, batch):
         if self.mesh is None:
             return jax.tree_util.tree_map(jnp.asarray, batch)
 
+        if self.batch_spec is not None:
+            spec = (
+                self.batch_spec(batch)
+                if callable(self.batch_spec)
+                else self.batch_spec
+            )
+
+            def put_spec(leaf, sp):
+                if not isinstance(sp, PartitionSpec):
+                    raise TypeError(
+                        f"batch_spec leaves must be PartitionSpec, got {sp!r}"
+                    )
+                if not self._is_key(leaf):
+                    # Typed PRNG keys can't round-trip through numpy.
+                    leaf = np.asarray(leaf)
+                return jax.device_put(leaf, NamedSharding(self.mesh, sp))
+
+            return jax.tree_util.tree_map(put_spec, batch, spec)
+
+        # Legacy heuristic (no batch_spec given): shard any leaf whose
+        # leading dim divides the data axis. Can silently mis-shard
+        # replicated leaves — pass batch_spec for anything non-trivial.
         def put(leaf):
-            if hasattr(leaf, "dtype") and jax.dtypes.issubdtype(
-                getattr(leaf, "dtype", None), jax.dtypes.prng_key
-            ):
-                # Typed PRNG keys can't round-trip through numpy; replicate.
+            if self._is_key(leaf):
                 return jax.device_put(leaf, replicated(self.mesh))
             arr = np.asarray(leaf)
             n_data = self.mesh.shape[self.mesh.axis_names[0]]

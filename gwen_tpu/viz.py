@@ -26,11 +26,15 @@ except ImportError:  # pragma: no cover
 
 
 def get_member_name(member_id: str) -> str:
-    """'-10.0_3000.0_2000.0' → 'Temp: -10.0; Height: 3000.0; Width: 2000.0'
-    (create_gif.py:141-162)."""
+    """'-10.0_3000.0_2000.0' → 'Temp: -10 °C; Height: 3000 m; Width: 2000 m'
+    (create_gif.py:141-162, including the unit suffixes and the reference's
+    ``.replace(".0", "")`` integer formatting)."""
     parts = str(member_id).split("_")
-    labels = ["Temp", "Height", "Width"]
-    fields = [f"{l}: {p}" for l, p in zip(labels, parts)]
+    labels_units = [("Temp", "°C"), ("Height", "m"), ("Width", "m")]
+    fields = [
+        f"{label}: {part.replace('.0', '')} {unit}"
+        for (label, unit), part in zip(labels_units, parts)
+    ]
     return "; ".join(fields) if fields else str(member_id)
 
 

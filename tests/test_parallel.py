@@ -237,17 +237,18 @@ def test_partitioned_ensemble_crps_loss_runs():
     xp = jnp.asarray(pg.pad_nodes(x))
     yp = jnp.asarray(pg.pad_nodes(y))
 
-    loss_fn = partitioned_ensemble_crps_loss_fn(
-        apply, noise_graph, num_members=2, sigma=0.05
-    )
+    loss_fn = partitioned_ensemble_crps_loss_fn(apply, num_members=2, sigma=0.05)
+    # Noise graph travels with the tables as jit arguments (Trainer context
+    # pattern) — closed-over numpy tables would inline as constants.
+    context = (apply.tables, noise_graph)
     value, preds = jax.jit(loss_fn)(
-        params, (xp, yp, jax.random.key(3)), apply.tables
+        params, (xp, yp, jax.random.key(3)), context
     )
     assert np.isfinite(float(value))
     assert preds.shape == yp.shape
     grads = jax.jit(
         jax.grad(lambda p: loss_fn(p, (xp, yp, jax.random.key(3)),
-                                   apply.tables)[0])
+                                   context)[0])
     )(params)
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.all(np.isfinite(np.asarray(leaf)))

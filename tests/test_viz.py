@@ -10,9 +10,10 @@ pytest.importorskip("PIL")
 
 
 def test_get_member_name():
+    # Units + ".0" stripping match the reference (create_gif.py:141-162).
     assert (
         viz.get_member_name("-10.0_3000.0_2000.0")
-        == "Temp: -10.0; Height: 3000.0; Width: 2000.0"
+        == "Temp: -10 °C; Height: 3000 m; Width: 2000 m"
     )
 
 
