@@ -74,7 +74,9 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
 
     n_dev = len(jax.devices())
     graph_parts = min(config.mesh.graph_axis, n_dev)
-    use_partition = graph_parts > 1 and n_dev % graph_parts == 0
+    use_partition = (
+        graph_parts > 1 or config.mesh.force_partition
+    ) and n_dev % graph_parts == 0
 
     # Graph tables travel through the jitted steps as the Trainer *context*
     # (arguments, not closed-over constants — mandatory at mesh scale).
@@ -82,7 +84,18 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
 
     if use_partition:
         mesh = make_mesh(data=n_dev // graph_parts, graph=graph_parts)
-        pg = partition_graph(s2, r2, n, num_parts=graph_parts, reorder=False)
+        # Local layout: sliding-ring (flagship) on TPU; the CPU reference
+        # path supports all layouts identically.
+        pg = partition_graph(
+            s2, r2, n, num_parts=graph_parts, reorder=False,
+            layout=config.mesh.partition_layout,
+            s_dtype=compute_dtype,
+            device_build=(
+                config.mesh.device_build
+                and jax.default_backend() == "tpu"
+                and config.mesh.partition_layout == "sliding"
+            ),
+        )
         apply_fn = make_partitioned_apply(model, pg, mesh)
         fields = pg.pad_nodes(fields)
         global_graph = build_graph(s2, r2, n)  # for skill eval / calibration

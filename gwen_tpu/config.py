@@ -159,6 +159,16 @@ class MeshParallelConfig:
     data_axis: int = 1  # number of data-parallel shards ("member" axis)
     graph_axis: int = 1  # number of graph partitions ("graph" axis)
     axis_names: tuple[str, str] = ("data", "graph")
+    # Run the partitioned (shard_map + halo) path even with graph_axis == 1:
+    # exercises the Pallas local kernels inside shard_map on a single chip —
+    # exactly the multi-chip compute path, with a degenerate halo exchange.
+    force_partition: bool = False
+    # Local-aggregation layout per partition: "sliding" (v4 flagship),
+    # "dense" (v3 streamed-S), or "ell" (v1 compact).
+    partition_layout: str = "sliding"
+    # Build the (large) stacked scatter matrices on device from O(edges)
+    # tables instead of shipping them over the host->device link.
+    device_build: bool = True
 
 
 @dataclass

@@ -581,6 +581,83 @@ class SlidingDenseGraph:
         return int(self.window_start.shape[0])
 
 
+def _sliding_monotonic(
+    nbr: np.ndarray,
+    nbr_w: np.ndarray,
+    win_start: np.ndarray,
+    block_size: int,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Phase 1 of the sliding-ring transform: monotonically nondecreasing
+    window starts (running max) + absolute source indices.
+
+    Returns ``(ws_mono, abs_idx, required_window)`` where ``required_window``
+    is the smallest window covering every edge relative to ``ws_mono``.
+    Shared across :func:`to_sliding_dense` and the partitioned builder
+    (``gwen_tpu.parallel.partition``), which must agree on a window across
+    partitions before phase 2.
+    """
+    ws = win_start.astype(np.int64)
+    ws_mono = np.maximum.accumulate(ws)
+    abs_idx = nbr.astype(np.int64) + ws.repeat(block_size)[:, None]
+    rel_mono = abs_idx - ws_mono.repeat(block_size)[:, None]
+    rel_mono = np.where(nbr_w != 0, rel_mono, 0)
+    if rel_mono.size and rel_mono.min() < 0:
+        raise AssertionError("monotonic window start broke coverage (below)")
+    max_rel = int(rel_mono.max()) if rel_mono.size else 0
+    return ws_mono, abs_idx, max_rel + 1
+
+
+def _sliding_tables(
+    ws_mono: np.ndarray,
+    abs_idx: np.ndarray,
+    nbr_w: np.ndarray,
+    window: int,
+    block_size: int,
+    src_pad: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Phase 2: clamp window starts so every DMA stays inside the padded
+    source axis, derive per-block delta chunk counts and ring-layout columns.
+
+    Clamping ``ws = min(ws_mono, src_pad - window)`` is exact: it only moves
+    starts *down*, so relative indices stay ≥ 0, and any edge still fits
+    because its absolute index is < src_pad ≤ ws + window. (Without the
+    clamp, a window grown past the ELL builder's per-block clamp would DMA
+    rows beyond the padded source array.) Returns
+    ``(ws_clamped, delta_blocks, abs_clamped, max_delta)``; ring columns are
+    ``abs_clamped % ring_rows`` once the (possibly partition-shared)
+    ``ring_rows ≥ window + max_delta*block`` is fixed by the caller.
+    """
+    ws = np.minimum(ws_mono, max(src_pad - window, 0))
+    ws = np.maximum(ws, 0)
+    rel = abs_idx - ws.repeat(block_size)[:, None]
+    rel = np.where(nbr_w != 0, rel, 0)
+    if rel.size and (rel.min() < 0 or rel.max() >= window):
+        raise AssertionError("sliding window clamp broke coverage")
+    deltas = np.diff(ws, prepend=ws[0])
+    assert (deltas % block_size == 0).all()
+    delta_blocks = (deltas // block_size).astype(np.int32)
+    delta_blocks[0] = window // block_size  # step 0 fetches the full window
+    num_blocks = len(ws)
+    max_delta = int(delta_blocks[1:].max()) if num_blocks > 1 else 0
+    abs_clamped = ws.repeat(block_size)[:, None] + rel
+    return ws, delta_blocks, abs_clamped, max_delta
+
+
+def _build_s_ring(cols, nbr_w, ring_rows, dtype, device_build):
+    """Materialize the ring-layout scatter matrix (host numpy or on device
+    from the compact O(edges) tables — see :func:`_expand_s_device`)."""
+    n_pad = cols.shape[0]
+    if device_build:
+        return _expand_s_device(
+            jnp.asarray(cols.astype(np.int32)), jnp.asarray(nbr_w),
+            ring_rows, np.dtype(dtype),
+        )
+    s_mat = np.zeros((n_pad, ring_rows), dtype)
+    rows = np.repeat(np.arange(n_pad), cols.shape[1])
+    np.add.at(s_mat, (rows, cols.ravel()), nbr_w.ravel().astype(dtype))
+    return s_mat
+
+
 def to_sliding_dense(
     graph: Graph,
     *,
@@ -604,48 +681,23 @@ def to_sliding_dense(
         num_src=n,
         block_size=block_size,
     )
-    n_pad = nbr.shape[0]
-    num_blocks = n_pad // block_size
-    ws = win_start.astype(np.int64)
-
-    # Monotonic window starts (running max); windows must still cover spans.
-    ws_mono = np.maximum.accumulate(ws)
-    # Recover absolute source indices, then re-express relative to ws_mono.
-    abs_idx = nbr + ws.repeat(block_size)[:, None]
-    rel_mono = abs_idx - ws_mono.repeat(block_size)[:, None]
-    rel_mono = np.where(nbr_w != 0, rel_mono, 0)
-    if rel_mono.min() < 0:
-        raise AssertionError("monotonic window start broke coverage (below)")
-    max_rel = int((np.where(nbr_w != 0, rel_mono, 0)).max()) if e else 0
-    window = max(window, _round_up(max_rel + 1, block_size))
+    ws_mono, abs_idx, required = _sliding_monotonic(
+        nbr, nbr_w, win_start, block_size
+    )
+    window = max(window, _round_up(required, block_size))
     window = min(window, src_pad)
-    if max_rel >= window:
+    if required > window:
         raise ValueError("window cannot cover spans after monotonic adjustment")
-
-    deltas = np.diff(ws_mono, prepend=ws_mono[0])  # deltas[0] == 0
-    assert (deltas % block_size == 0).all()
-    delta_blocks = (deltas // block_size).astype(np.int32)
-    # Step 0 fetches the full window.
-    delta_blocks[0] = window // block_size
-    max_delta = int(delta_blocks[1:].max()) if num_blocks > 1 else 0
+    ws, delta_blocks, abs_clamped, max_delta = _sliding_tables(
+        ws_mono, abs_idx, nbr_w, window, block_size, src_pad
+    )
     ring_rows = window + max(max_delta, 1) * block_size
-
-    # Scatter matrix with ring-layout columns: col = abs_src % ring_rows.
-    abs_idx_m = (ws_mono.repeat(block_size)[:, None] + rel_mono)
-    cols = (abs_idx_m % ring_rows).astype(np.int64)
-    if device_build:
-        s_mat = _expand_s_device(
-            jnp.asarray(cols.astype(np.int32)), jnp.asarray(nbr_w),
-            ring_rows, np.dtype(dtype),
-        )
-    else:
-        s_mat = np.zeros((n_pad, ring_rows), dtype)
-        rows = np.repeat(np.arange(n_pad), nbr.shape[1])
-        np.add.at(s_mat, (rows, cols.ravel()), nbr_w.ravel().astype(dtype))
+    cols = abs_clamped % ring_rows
+    s_mat = _build_s_ring(cols, nbr_w, ring_rows, dtype, device_build)
 
     return SlidingDenseGraph(
         s_mat=s_mat,
-        window_start=ws_mono.astype(np.int32),
+        window_start=ws.astype(np.int32),
         delta_blocks=delta_blocks,
         num_nodes=n,
         num_edges=e,
@@ -654,6 +706,125 @@ def to_sliding_dense(
         max_delta_blocks=max(max_delta, 1),
         num_src_rows=src_pad,
     )
+
+
+@struct.dataclass
+class SlidingRank1Graph:
+    """int8 rank-1-factored sliding-ring layout (v4.2 kernel path).
+
+    GCN symmetric normalization is *exactly* rank-1: every edge weight is
+    ``w_e = a[r] · a[s]`` with ``a = 1/sqrt(d̂)`` (self-loop weight
+    ``a[i]²`` — how the builder recovers ``a`` from a normalized graph).
+    So ``S = diag(a) · S01 · diag(a)`` with S01 the *binary* adjacency in
+    ring layout: stream S01 as int8 (half the HBM bytes of bf16, quarter of
+    f32) and apply the two scale vectors elementwise outside the kernel.
+    ``core`` is a :class:`SlidingDenseGraph` whose ``s_mat`` holds int8 0/1.
+    """
+
+    core: SlidingDenseGraph
+    row_scale: Array  # (N_pad,) float32 — a[r] for destination rows
+    col_scale: Array  # (src_rows_padded,) float32 — a[s] for source rows
+
+    @property
+    def num_nodes(self) -> int:
+        return self.core.num_nodes
+
+    @property
+    def num_edges(self) -> int:
+        return self.core.num_edges
+
+    @property
+    def num_padded_nodes(self) -> int:
+        return self.core.num_padded_nodes
+
+    @property
+    def num_src_rows(self) -> int:
+        return self.core.num_src_rows
+
+
+def rank1_scales(graph: Graph, atol: float = 1e-5) -> np.ndarray:
+    """Recover the rank-1 factor ``a`` (``w_e = a[r]·a[s]``) from a
+    GCN-normalized graph and VERIFY exactness on every edge.
+
+    Uses the self-loop weights: gcn_normalize gives loop ``(i, i)`` weight
+    ``a[i]²`` (graph.py:gcn_normalize). Raises ``ValueError`` if the graph
+    has no self loops or its weights are not rank-1 to ``atol`` — callers
+    fall back to the weighted sliding layout.
+    """
+    e = graph.num_edges
+    s = np.asarray(graph.senders)[:e].astype(np.int64)
+    r = np.asarray(graph.receivers)[:e].astype(np.int64)
+    w = np.asarray(graph.weights)[:e].astype(np.float64)
+    n = graph.num_nodes
+    loops = s == r
+    a2 = np.zeros(n, np.float64)
+    a2[r[loops]] = w[loops]
+    if not loops.any() or (a2 <= 0).any():
+        raise ValueError(
+            "rank-1 factorization needs self loops on every node "
+            "(build the graph with self_loops=True / GCN normalization)"
+        )
+    a = np.sqrt(a2)
+    if not np.allclose(w, a[r] * a[s], rtol=0, atol=atol):
+        raise ValueError("edge weights are not rank-1 (w_e != a_r * a_s)")
+    return a.astype(np.float32)
+
+
+def to_sliding_rank1(
+    graph: Graph,
+    *,
+    block_size: int = 128,
+    device_build: bool = False,
+) -> SlidingRank1Graph:
+    """Build the int8 rank-1-factored sliding-ring layout.
+
+    Exact for GCN-normalized graphs (validated edge-by-edge by
+    :func:`rank1_scales`); S01 HBM footprint is half of the bf16 weighted
+    ``to_sliding_dense`` S at identical kernel structure.
+    """
+    a = rank1_scales(graph)
+    e = graph.num_edges
+    n = graph.num_nodes
+    nbr, nbr_w, win_start, window, src_pad = ell_tables(
+        np.asarray(graph.senders)[:e],
+        np.asarray(graph.receivers)[:e],
+        np.asarray(graph.weights)[:e],
+        num_dst=n,
+        num_src=n,
+        block_size=block_size,
+    )
+    ws_mono, abs_idx, required = _sliding_monotonic(
+        nbr, nbr_w, win_start, block_size
+    )
+    window = max(window, _round_up(required, block_size))
+    window = min(window, src_pad)
+    if required > window:
+        raise ValueError("window cannot cover spans after monotonic adjustment")
+    ws, delta_blocks, abs_clamped, max_delta = _sliding_tables(
+        ws_mono, abs_idx, nbr_w, window, block_size, src_pad
+    )
+    ring_rows = window + max(max_delta, 1) * block_size
+    cols = abs_clamped % ring_rows
+    ones = (nbr_w != 0).astype(np.float32)  # binary slots; 0 on padding
+    s01 = _build_s_ring(cols, ones, ring_rows, np.int8, device_build)
+
+    n_pad = nbr.shape[0]
+    row_scale = np.zeros(n_pad, np.float32)
+    row_scale[:n] = a
+    col_scale = np.zeros(src_pad, np.float32)
+    col_scale[:n] = a
+    core = SlidingDenseGraph(
+        s_mat=s01,
+        window_start=ws.astype(np.int32),
+        delta_blocks=delta_blocks,
+        num_nodes=n,
+        num_edges=e,
+        block_size=block_size,
+        window_size=int(window),
+        max_delta_blocks=max(max_delta, 1),
+        num_src_rows=src_pad,
+    )
+    return SlidingRank1Graph(core=core, row_scale=row_scale, col_scale=col_scale)
 
 
 @struct.dataclass

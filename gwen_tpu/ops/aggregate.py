@@ -35,6 +35,7 @@ from gwen_tpu.graph.graph import (
     Graph,
     MultiLevelGraph,
     SlidingDenseGraph,
+    SlidingRank1Graph,
     WindowedDenseGraph,
 )
 
@@ -168,6 +169,15 @@ def aggregate(graph, x: Array, backend: str = "auto") -> Array:
 
             return spmm_windowed_dense(graph, x)
         return aggregate_windowed_dense_reference(graph, x)
+    if isinstance(graph, SlidingRank1Graph):
+        n = x.shape[-2]
+        if backend in ("auto", "pallas"):
+            from gwen_tpu.ops.spmm_pallas import spmm_sliding_rank1
+
+            return spmm_sliding_rank1(graph, x)
+        xs = x * graph.col_scale[:n, None].astype(x.dtype)
+        out = aggregate_sliding_dense_reference(graph.core, xs)
+        return out * graph.row_scale[: out.shape[-2], None].astype(out.dtype)
     if isinstance(graph, SlidingDenseGraph):
         if backend in ("auto", "pallas"):
             from gwen_tpu.ops.spmm_pallas import spmm_sliding_dense

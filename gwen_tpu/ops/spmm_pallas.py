@@ -806,3 +806,22 @@ def spmm_sliding_dense(graph, x: Array, f_blk: "int | None" = None) -> Array:
         ))
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     return out[:out_rows, :f]
+
+
+def spmm_sliding_rank1(graph, x: Array, f_blk: "int | None" = None) -> Array:
+    """int8 rank-1-factored sliding aggregation (v4.2): the kernel streams a
+    *binary* int8 S01 (converted to the compute dtype in-VMEM — the stream is
+    bandwidth-bound, so halving S bytes wins) and the exact GCN scales are
+    applied elementwise outside: ``out = a ⊙ K(a ⊙ x)``.
+
+    Differentiation composes automatically: K's custom VJP (K itself — S01 is
+    globally symmetric) plus the elementwise scales give the exact cotangent
+    ``a ⊙ K(a ⊙ g)``.
+    """
+    from gwen_tpu.graph.graph import SlidingRank1Graph
+
+    assert isinstance(graph, SlidingRank1Graph)
+    n = x.shape[-2]
+    xs = x * graph.col_scale[:n, None].astype(x.dtype)
+    out = spmm_sliding_dense(graph.core, xs, f_blk=f_blk)
+    return out * graph.row_scale[: out.shape[-2], None].astype(out.dtype)

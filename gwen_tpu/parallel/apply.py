@@ -36,29 +36,57 @@ def make_partitioned_apply(
     The result is jit-compatible; batch (leading) axis is sharded over
     ``data_axis`` when present, node axis over ``graph_axis``.
     """
-    has_dense_s = pg.s_dense is not None
-    tables = (
-        jnp.asarray(pg.nbr),
-        jnp.asarray(pg.nbr_weight),
-        jnp.asarray(pg.window_start),
-    ) + ((jnp.asarray(pg.s_dense),) if has_dense_s else ())
     max_edges = int(pg.edges_per_part.max()) if pg.num_parts else 0
+    sliding = pg.layout == "sliding" and pg.s_sliding is not None
 
-    def local_apply(nbr_p, nbr_w_p, wstart_p, *rest):
-        *s_p, params, x = rest
-        hg = HaloGraph(
-            nbr=nbr_p[0],
-            nbr_weight=nbr_w_p[0],
-            window_start=wstart_p[0],
-            axis_name=graph_axis,
-            halo=pg.halo,
-            n_local=pg.n_local,
-            block_size=pg.block_size,
-            window_size=pg.window_size,
-            num_edges=max_edges,
-            s_mat=s_p[0][0] if s_p else None,
+    if sliding:
+        # Flagship v4 layout: ring-S + monotonic starts + per-block deltas.
+        tables = (
+            jnp.asarray(pg.sliding_window_start),
+            jnp.asarray(pg.sliding_delta),
+            jnp.asarray(pg.s_sliding),
         )
-        return model.apply(params, hg, x)
+
+        def local_apply(ws_p, delta_p, s_p, params, x):
+            hg = HaloGraph(
+                nbr=jnp.zeros((pg.n_local, 1), jnp.int32),  # unused by v4
+                nbr_weight=jnp.zeros((pg.n_local, 1), s_p.dtype),
+                window_start=ws_p[0],
+                axis_name=graph_axis,
+                halo=pg.halo,
+                n_local=pg.n_local,
+                block_size=pg.block_size,
+                window_size=pg.sliding_window,
+                num_edges=max_edges,
+                s_mat=s_p[0],
+                delta_blocks=delta_p[0],
+                ring_rows=pg.sliding_ring,
+                max_delta=pg.sliding_max_delta,
+            )
+            return model.apply(params, hg, x)
+    else:
+        has_dense_s = pg.s_dense is not None
+        tables = (
+            jnp.asarray(pg.nbr),
+            jnp.asarray(pg.nbr_weight),
+            jnp.asarray(pg.window_start),
+        ) + ((jnp.asarray(pg.s_dense),) if has_dense_s else ())
+
+        def local_apply(nbr_p, nbr_w_p, wstart_p, *rest):
+            *s_p, params, x = rest
+            hg = HaloGraph(
+                nbr=nbr_p[0],
+                nbr_weight=nbr_w_p[0],
+                window_start=wstart_p[0],
+                axis_name=graph_axis,
+                halo=pg.halo,
+                n_local=pg.n_local,
+                block_size=pg.block_size,
+                window_size=pg.window_size,
+                num_edges=max_edges,
+                s_mat=s_p[0][0] if s_p else None,
+            )
+            return model.apply(params, hg, x)
 
     def x_spec(ndim: int) -> P:
         spec = [None] * ndim

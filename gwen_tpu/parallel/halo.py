@@ -17,8 +17,11 @@ local blocked-ELL aggregation (Pallas on TPU, jnp reference elsewhere), and
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from gwen_tpu.graph.graph import BlockEllGraph
@@ -40,9 +43,15 @@ class HaloGraph:
     block_size: int = struct.field(pytree_node=False)
     window_size: int = struct.field(pytree_node=False)
     num_edges: int = struct.field(pytree_node=False)
-    # Optional dense scatter matrix (n_local, window) for the streamed-S
-    # local kernel; None -> blocked-ELL path.
+    # Optional dense scatter matrix for a streamed-S local kernel; None ->
+    # blocked-ELL path. With ``delta_blocks`` set it is the *ring-layout*
+    # matrix (n_local, ring_rows) of the sliding kernel (v4, flagship) and
+    # ``window_start`` holds the monotonic clamped starts; otherwise the
+    # windowed matrix (n_local, window) of the v3 kernel.
     s_mat: "Array | None" = None
+    delta_blocks: "Array | None" = None  # (n_local // block,) int32
+    ring_rows: int = struct.field(pytree_node=False, default=0)
+    max_delta: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_nodes(self) -> int:  # model-facing row count per device
@@ -87,12 +96,73 @@ def aggregate_halo(graph: HaloGraph, x: Array, backend: str = "auto") -> Array:
     The ring wraps, so the first/last partitions receive wrapped rows — but no
     edge references them (indices were built from the acyclic node ordering),
     so they are inert.
+
+    Differentiation: the composite (exchange → local aggregate → crop) is,
+    globally, multiplication by the padded normalized adjacency — symmetric
+    for the undirected GCN-normalized graphs this framework builds — so the
+    VJP w.r.t. ``x`` is the SAME halo aggregation applied to the cotangent.
+    The custom VJP lives HERE, at the composite level, because the local
+    scatter matrix is (n_local × ext) non-square: the Pallas kernels' own
+    backward-reuses-forward VJPs are only valid for square symmetric S and
+    must not be relied on inside the halo path.
     """
     if x.shape[-2] != graph.n_local:
         raise ValueError(f"x has {x.shape[-2]} rows, partition has {graph.n_local}")
+    return _aggregate_halo_sym(graph, x, backend)
+
+
+def _zero_cotangent(leaf):
+    # Integer/bool primals take float0 cotangents; float table cotangents are
+    # symbolic zeros that XLA DCEs (the graph tables are never differentiated).
+    if jnp.issubdtype(leaf.dtype, jnp.integer) or leaf.dtype == jnp.bool_:
+        return np.zeros(leaf.shape, jax.dtypes.float0)
+    return jnp.zeros_like(leaf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _aggregate_halo_sym(graph: HaloGraph, x: Array, backend: str) -> Array:
+    return _aggregate_halo_impl(graph, x, backend)
+
+
+def _aggregate_halo_fwd(graph, x, backend):
+    return _aggregate_halo_impl(graph, x, backend), graph
+
+
+def _aggregate_halo_bwd(backend, graph, g):
+    gx = _aggregate_halo_impl(graph, g, backend)
+    return (jax.tree_util.tree_map(_zero_cotangent, graph), gx)
+
+
+_aggregate_halo_sym.defvjp(_aggregate_halo_fwd, _aggregate_halo_bwd)
+
+
+def _aggregate_halo_impl(graph: HaloGraph, x: Array, backend: str) -> Array:
     x_ext = halo_exchange(x, graph.halo, graph.axis_name)
     on_tpu = jax.default_backend() == "tpu"
-    if graph.s_mat is not None:
+    if graph.delta_blocks is not None:
+        # Sliding-ring streamed-S local kernel (v4, the flagship layout).
+        from gwen_tpu.graph.graph import SlidingDenseGraph
+
+        sd = SlidingDenseGraph(
+            s_mat=graph.s_mat,
+            window_start=graph.window_start,
+            delta_blocks=graph.delta_blocks,
+            num_nodes=graph.n_local,
+            num_edges=graph.num_edges,
+            block_size=graph.block_size,
+            window_size=graph.window_size,
+            max_delta_blocks=graph.max_delta,
+            num_src_rows=graph.ext_rows,
+        )
+        if backend in ("auto", "pallas") and on_tpu:
+            from gwen_tpu.ops.spmm_pallas import spmm_sliding_dense
+
+            out = spmm_sliding_dense(sd, x_ext)
+        else:
+            from gwen_tpu.ops.aggregate import aggregate_sliding_dense_reference
+
+            out = aggregate_sliding_dense_reference(sd, x_ext)
+    elif graph.s_mat is not None:
         from gwen_tpu.graph.graph import WindowedDenseGraph
 
         wd = WindowedDenseGraph(

@@ -20,7 +20,13 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from gwen_tpu.graph.graph import ell_tables, gcn_normalize
+from gwen_tpu.graph.graph import (
+    _build_s_ring,
+    _sliding_monotonic,
+    _sliding_tables,
+    ell_tables,
+    gcn_normalize,
+)
 from gwen_tpu.graph.reorder import apply_order, bandwidth, rcm_order
 
 
@@ -46,6 +52,15 @@ class PartitionedGraph:
     num_nodes: int  # global, before padding
     num_edges: int
     edges_per_part: np.ndarray  # (P,) actual edge counts (incl. self loops)
+    # Sliding-ring layout (v4 kernel) — shared static shapes across
+    # partitions; None unless built with layout="sliding".
+    s_sliding: "np.ndarray | None" = None  # (P, n_local, ring_rows)
+    sliding_window_start: "np.ndarray | None" = None  # (P, n_local // block)
+    sliding_delta: "np.ndarray | None" = None  # (P, n_local // block) int32
+    sliding_window: int = 0
+    sliding_ring: int = 0
+    sliding_max_delta: int = 0
+    layout: str = "ell"
 
     @property
     def padded_nodes(self) -> int:
@@ -80,8 +95,29 @@ def partition_graph(
     reorder: bool = True,
     halo: int | None = None,
     dense_s: bool = False,
+    layout: str = "ell",
+    s_dtype=np.float32,
+    device_build: bool = False,
 ) -> PartitionedGraph:
-    """Partition a (symmetric) graph into ``num_parts`` contiguous chunks."""
+    """Partition a (symmetric) graph into ``num_parts`` contiguous chunks.
+
+    ``layout`` picks the local-aggregation tables every partition carries
+    (all layouts share identical static shapes so ``shard_map`` can slice
+    the stacked arrays over the mesh ``graph`` axis):
+
+    * ``"ell"`` — blocked-ELL only (compact, v1 kernel).
+    * ``"dense"`` — + per-partition windowed-dense scatter matrices
+      (v3 streamed-S kernel; equivalent to the legacy ``dense_s=True``).
+    * ``"sliding"`` — + per-partition sliding-ring tables (v4 kernel — the
+      flagship: x read once, S streamed once). The window / ring size /
+      max-delta are shared (maxed) across partitions. ``device_build=True``
+      expands the stacked S on device from the O(edges) ELL tables — use it
+      whenever S is large (L7+), the host→device link is the bottleneck.
+    """
+    if dense_s:
+        layout = "dense"
+    if layout not in ("ell", "dense", "sliding"):
+        raise ValueError(f"unknown partition layout {layout!r}")
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
     if reorder:
@@ -149,7 +185,7 @@ def partition_graph(
         counts.append(len(wp))
 
     s_dense = None
-    if dense_s:
+    if layout == "dense":
         # Per-partition dense scatter matrices for the streamed-S local
         # kernel (gwen_tpu.ops.spmm_pallas.spmm_windowed_dense).
         s_dense = np.zeros((num_parts, n_local, window), np.float32)
@@ -158,6 +194,45 @@ def partition_graph(
             np.add.at(
                 s_dense[p], (rows, nbrs[p].ravel()), nws[p].ravel()
             )
+
+    s_sliding = sl_ws = sl_delta = None
+    sl_window = sl_ring = sl_max_delta = 0
+    if layout == "sliding":
+        # Two-phase build so the window / ring / max-delta statics are
+        # SHARED across partitions (shard_map slices a stacked array).
+        src_pad_ext = _round_up(n_ext, block_size)
+        monos = [
+            _sliding_monotonic(nbrs[p], nws[p], wss[p], block_size)
+            for p in range(num_parts)
+        ]
+        sl_window = max(
+            window,
+            max(_round_up(req, block_size) for _, _, req in monos),
+        )
+        sl_window = min(sl_window, src_pad_ext)
+        tabs = [
+            _sliding_tables(ws_mono, abs_idx, nws[p], sl_window,
+                            block_size, src_pad_ext)
+            for p, (ws_mono, abs_idx, _) in enumerate(monos)
+        ]
+        sl_max_delta = max(md for _, _, _, md in tabs)
+        sl_ring = sl_window + max(sl_max_delta, 1) * block_size
+        s_parts, ws_parts, delta_parts = [], [], []
+        for p, (ws_p, delta_p, abs_p, _) in enumerate(tabs):
+            cols = abs_p % sl_ring
+            s_parts.append(
+                _build_s_ring(cols, nws[p], sl_ring, s_dtype, device_build)
+            )
+            ws_parts.append(ws_p.astype(np.int32))
+            delta_parts.append(delta_p)
+        if device_build:
+            import jax.numpy as jnp
+
+            s_sliding = jnp.stack(s_parts)
+        else:
+            s_sliding = np.stack(s_parts)
+        sl_ws = np.stack(ws_parts)
+        sl_delta = np.stack(delta_parts)
 
     return PartitionedGraph(
         nbr=np.stack(nbrs),
@@ -174,4 +249,11 @@ def partition_graph(
         num_nodes=num_nodes,
         num_edges=len(s),
         edges_per_part=np.asarray(counts),
+        s_sliding=s_sliding,
+        sliding_window_start=sl_ws,
+        sliding_delta=sl_delta,
+        sliding_window=sl_window,
+        sliding_ring=sl_ring,
+        sliding_max_delta=max(sl_max_delta, 1) if layout == "sliding" else 0,
+        layout=layout,
     )

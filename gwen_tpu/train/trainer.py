@@ -170,7 +170,21 @@ class Trainer:
                 if not self._is_key(leaf):
                     # Typed PRNG keys can't round-trip through numpy.
                     leaf = np.asarray(leaf)
-                return jax.device_put(leaf, NamedSharding(self.mesh, sp))
+                # Degrade spec axes that don't divide the leaf dim to
+                # replication — exact (jit semantics are sharding-invariant)
+                # and required for e.g. a final partial batch of an epoch.
+                axes = list(sp) + [None] * (getattr(leaf, "ndim", 0) - len(sp))
+                fixed = []
+                for d, ax in enumerate(axes):
+                    if ax is None:
+                        fixed.append(None)
+                        continue
+                    names = ax if isinstance(ax, tuple) else (ax,)
+                    size = int(np.prod([self.mesh.shape[a] for a in names]))
+                    fixed.append(ax if leaf.shape[d] % size == 0 else None)
+                return jax.device_put(
+                    leaf, NamedSharding(self.mesh, PartitionSpec(*fixed))
+                )
 
             return jax.tree_util.tree_map(put_spec, batch, spec)
 

@@ -160,6 +160,61 @@ def test_partitioned_dense_s_matches_global():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_partitioned_sliding_matches_global():
+    """Sliding-ring local aggregation inside shard_map == global model —
+    the flagship kernel on the partitioned path (round-1 verdict #1)."""
+    verts, s, r = icosphere_edges(3)
+    n = verts.shape[0]
+    num_parts = 4
+    pg = partition_graph(s, r, n, num_parts=num_parts, block_size=32,
+                         layout="sliding")
+    assert pg.s_sliding is not None
+    assert pg.s_sliding.shape[0] == num_parts
+    assert pg.sliding_ring >= pg.sliding_window
+    g_ref, perm = _global_reference_graph(s, r, n)
+
+    model = EncodeProcessDecode(
+        channels_in=8, channels_out=8, latent_size=16, process_steps=2,
+        backend="segment",
+    )
+    params = model.init(jax.random.key(0))
+    dp = len(jax.devices()) // num_parts
+    x = np.random.default_rng(5).normal(size=(dp, n, 8)).astype(np.float32)
+    want = np.asarray(model.apply(params, g_ref, jnp.asarray(np.take(x, perm, axis=1))))
+
+    mesh = make_mesh(data=dp, graph=num_parts)
+    apply = make_partitioned_apply(model, pg, mesh)
+    assert len(apply.tables) == 3  # (window_start, delta_blocks, s_ring)
+    xp = jnp.asarray(pg.pad_nodes(x))
+    got = np.asarray(jax.jit(apply)(params, xp))[:, :n, :]
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_partitioned_sliding_gradients():
+    """Gradients through the sliding partitioned path == global gradients."""
+    verts, s, r = icosphere_edges(3)
+    n = verts.shape[0]
+    pg = partition_graph(s, r, n, num_parts=2, block_size=32, layout="sliding")
+    g_ref, perm = _global_reference_graph(s, r, n)
+    model = EncodeProcessDecode(
+        channels_in=4, channels_out=4, latent_size=8, process_steps=1,
+        backend="segment",
+    )
+    params = model.init(jax.random.key(0))
+    dp = len(jax.devices()) // 2
+    mesh = make_mesh(data=dp, graph=2)
+    apply = make_partitioned_apply(model, pg, mesh)
+
+    x = np.random.default_rng(6).normal(size=(dp, n, 4)).astype(np.float32)
+    xp = jnp.asarray(pg.pad_nodes(x))
+    xg = jnp.asarray(np.take(x, perm, axis=1))
+
+    gp = jax.jit(jax.grad(lambda p: jnp.sum(jnp.sin(apply(p, xp)[:, :n, :]))))(params)
+    gg = jax.jit(jax.grad(lambda p: jnp.sum(jnp.sin(model.apply(p, g_ref, xg)))))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
 def test_partitioned_rollout_loss_matches_global_preds():
     """partitioned_rollout_loss_fn's trajectory == global model rollout."""
     from gwen_tpu.train.tasks import partitioned_rollout_loss_fn

@@ -190,6 +190,69 @@ def test_spmm_sliding_dense_larger_mesh():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+# ------------------------------------------ int8 rank-1-factored S (v4.2)
+
+
+def test_rank1_scales_recovered_and_verified():
+    from gwen_tpu.graph import rank1_scales
+
+    g, _, n = _mesh_graph()
+    a = rank1_scales(g)
+    assert a.shape == (n,)
+    # icosphere: 12 pentagon nodes (deg 5 → d̂=6), rest hexagons (d̂=7).
+    assert np.allclose(np.sort(np.unique(np.round(a, 6))),
+                       np.sort(np.unique(np.round(
+                           [1 / np.sqrt(6), 1 / np.sqrt(7)], 6))))
+    # Non-rank-1 weights must be rejected.
+    import pytest
+    from gwen_tpu.graph import build_graph
+
+    bad = build_graph(np.array([0, 1, 0, 1]), np.array([1, 0, 0, 1]), 2,
+                      normalize=False, weights=np.array([1.0, 2.0, 1.0, 1.0]))
+    with pytest.raises(ValueError):
+        rank1_scales(bad)
+
+
+def test_spmm_sliding_rank1_matches_segment():
+    from gwen_tpu.graph import to_sliding_rank1
+    from gwen_tpu.ops.spmm_pallas import spmm_sliding_rank1
+
+    g, _, n = _mesh_graph(levels=3)
+    sr = to_sliding_rank1(g, block_size=32)
+    assert sr.core.s_mat.dtype == np.int8
+    x = jnp.asarray(np.random.default_rng(13).normal(size=(n, 24)).astype(np.float32))
+    got = spmm_sliding_rank1(sr, x)
+    want = aggregate_segment(g, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    # aggregate() dispatch, both backends.
+    from gwen_tpu.ops import aggregate
+
+    got2 = aggregate(sr, x)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want), rtol=1e-4, atol=1e-4)
+    got3 = aggregate(sr, x, backend="reference")
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_sliding_rank1_batched_and_grad():
+    from gwen_tpu.graph import to_sliding_rank1
+    from gwen_tpu.ops.spmm_pallas import spmm_sliding_rank1
+
+    g, _, n = _mesh_graph()
+    sr = to_sliding_rank1(g, block_size=32)
+    xb = jnp.asarray(np.random.default_rng(14).normal(size=(2, n, 8)).astype(np.float32))
+    got = spmm_sliding_rank1(sr, xb)
+    want = jax.vmap(lambda x: aggregate_segment(g, x))(xb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    x = xb[0]
+    f = lambda xx: jnp.sum(jnp.sin(spmm_sliding_rank1(sr, xx)))
+    fr = lambda xx: jnp.sum(jnp.sin(aggregate_segment(g, xx)))
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(x)), np.asarray(jax.grad(fr)(x)), rtol=1e-4, atol=1e-4
+    )
+
+
 # ---------------------------------------------------------------- edge cases
 
 
