@@ -35,7 +35,7 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
 
     from gwen_tpu.graph import (
         apply_order, build_graph, icosphere_edges, rcm_order,
-        to_block_ell, to_sliding_dense, to_windowed_dense,
+        to_block_ell, to_sliding_dense, to_sliding_packed, to_windowed_dense,
     )
     from gwen_tpu.nn import EncodeProcessDecode
     from gwen_tpu.train import TrainState
@@ -64,11 +64,15 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
         # Sliding-ring reads x once instead of once per window overlap and
         # shares one S stream across folded batch members — measured fastest
         # at every level whose S fits HBM (L7 EPD step: 23 ms vs 42 sdense).
-        kernel = "sliding" if s_mat_bytes < int(7 * 2**30) else "ell"
+        # Beyond that, the bit-packed rank-1 kernel (1/16 the S bytes) keeps
+        # the MXU path alive: L9 agg 59.7 ms vs 229 ms ELL.
+        kernel = "sliding" if s_mat_bytes < int(7 * 2**30) else "packed"
     if kernel == "sdense":
         graph = to_windowed_dense(g, dtype=jnp.bfloat16, device_build=True)
     elif kernel == "sliding":
         graph = to_sliding_dense(g, dtype=jnp.bfloat16, device_build=True)
+    elif kernel == "packed":
+        graph = to_sliding_packed(g, device_build=True)
     else:
         graph = be
     graph = jax.device_put(graph)  # numpy leaves place once; S already on device
@@ -76,6 +80,7 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
     model = EncodeProcessDecode(
         channels_in=feats, channels_out=feats, latent_size=latent,
         process_steps=steps, compute_dtype=jnp.bfloat16,
+        remat=bool(int(os.environ.get("GWEN_SCALING_REMAT", "0"))),
     )
     params = model.init(jax.random.key(0))
     opt = optax.adam(1e-4)
@@ -83,7 +88,9 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
 
     shape = (batch, n, feats) if batch > 1 else (n, feats)
     # Generate on device — host->device transfers are slow in this env.
-    x = jax.random.normal(jax.random.key(0), shape, jnp.float32)
+    # bf16 inputs: the model computes in bf16 anyway, and f32 copies of the
+    # L9 field (2.7 GB each) are what pushed the forward scan out of HBM.
+    x = jax.random.normal(jax.random.key(0), shape, jnp.bfloat16)
     y = x * 0.9
 
     def train_step(st, gr, xx, yy):

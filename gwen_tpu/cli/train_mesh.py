@@ -144,10 +144,21 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
         if jax.default_backend() == "tpu":
             # Sliding-ring streamed-S kernel (fastest: x read once, one S
             # stream shared across folded batch members); S built on device
-            # so only O(edges) bytes cross the host->device link.
-            graph = to_sliding_dense(
-                g, dtype=compute_dtype, device_build=True
-            )
+            # so only O(edges) bytes cross the host->device link. Where the
+            # weighted S would not fit HBM (L9+), the bit-packed rank-1
+            # variant (1/16 the bytes) keeps the MXU path (59.7 ms/agg at
+            # L9 vs 229 ms blocked-ELL).
+            from gwen_tpu.graph import bandwidth as graph_bandwidth
+            from gwen_tpu.graph import to_sliding_packed
+
+            bw = graph_bandwidth(s2, r2)
+            s_bytes = (-(-n // 128) * 128) * (-(-bw // 128) * 128 + 128) * 2
+            if s_bytes < int(7 * 2**30):
+                graph = to_sliding_dense(
+                    g, dtype=compute_dtype, device_build=True
+                )
+            else:
+                graph = to_sliding_packed(g, device_build=True)
         else:
             graph = g
         context = graph

@@ -828,6 +828,152 @@ def to_sliding_rank1(
 
 
 @struct.dataclass
+class SlidingPackedGraph:
+    """Bit-packed rank-1 sliding-ring layout (v5 kernel — the L9 unlock).
+
+    Like :class:`SlidingRank1Graph` but S01 is packed 8 destination rows per
+    byte along the row axis: ``packed[g, c]`` bit ``b`` = S01[8g+b, c]. HBM
+    footprint is 1/16 of the bf16 weighted S (L9 icosphere: 1.8 GB vs 29 GB),
+    which is what lets the 2.6M-node mesh ride the MXU sliding path at all.
+    The kernel unpacks a (block, ring) tile from (block/8, ring) bytes with a
+    sublane broadcast + per-row shift + mask (~3 VPU passes), then runs the
+    same streamed matmul as v4. Exact GCN scales apply outside
+    (``out = a ⊙ K01(a ⊙ x)``), so this path requires rank-1 weights.
+    """
+
+    packed: Array  # (N_pad // 8, ring_rows) uint8 — row-packed binary S
+    window_start: Array  # (num_blocks,) int32, block-aligned, nondecreasing
+    delta_blocks: Array  # (num_blocks,) int32
+    row_scale: Array  # (N_pad,) float32
+    col_scale: Array  # (src_rows_padded,) float32
+    num_nodes: int = struct.field(pytree_node=False)
+    num_edges: int = struct.field(pytree_node=False)
+    block_size: int = struct.field(pytree_node=False)
+    window_size: int = struct.field(pytree_node=False)
+    max_delta_blocks: int = struct.field(pytree_node=False)
+    num_src_rows: int = struct.field(pytree_node=False)
+
+    @property
+    def num_padded_nodes(self) -> int:
+        return int(self.packed.shape[0]) * 8
+
+    @property
+    def ring_rows(self) -> int:
+        return int(self.packed.shape[1])
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.window_start.shape[0])
+
+
+def _packed_row_bit(n_pad: int, block_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Tile-order packing map: global row ``i`` lives in packed row
+    ``blk*gpb + (l % gpb)`` at bit ``l // gpb`` (``l = i % block``,
+    ``gpb = block // 8``) — the order ``pltpu.repeat`` (whole-array tiling,
+    see ``_unpack_s01``) reproduces with a single per-row bit mask."""
+    gpb = block_size // 8
+    i = np.arange(n_pad)
+    blk, l = i // block_size, i % block_size
+    return blk * gpb + (l % gpb), (l // gpb).astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _pack_s_device(cols: Array, nonzero: Array, ring: int) -> Array:
+    """Build the row-packed binary scatter matrix on device from compact
+    per-row slot tables PRE-GATHERED into tile order: ``cols``/``nonzero``
+    are (groups, 8, degree) where axis 1 is the bit index. Device analog of
+    the np.bitwise_or.at host build; same rationale as
+    :func:`_expand_s_device` — only O(edges) bytes cross the host→device
+    link, the packed array never does."""
+    g, _, deg = cols.shape
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (g, ring), 1)
+    p = jnp.zeros((g, ring), jnp.uint8)
+    for b in range(8):
+        for d in range(deg):
+            hit = (col_iota == cols[:, b, d][:, None]) & nonzero[:, b, d][:, None]
+            p = p | jnp.where(hit, jnp.uint8(1 << b), jnp.uint8(0))
+    return p
+
+
+def to_sliding_packed(
+    graph: Graph,
+    *,
+    block_size: int = 256,
+    device_build: bool = False,
+) -> SlidingPackedGraph:
+    """Build the bit-packed rank-1 sliding layout (v5 kernel).
+
+    ``block_size`` must be a multiple of 8 (row packing) — 256 by default,
+    which also raises MXU utilization (M=256 matmul tiles) and makes the
+    packed VMEM tile (block/8 = 32 rows) exactly one int8 sublane group.
+    """
+    if block_size % 8:
+        raise ValueError("block_size must be a multiple of 8 for row packing")
+    a = rank1_scales(graph)
+    e = graph.num_edges
+    n = graph.num_nodes
+    nbr, nbr_w, win_start, window, src_pad = ell_tables(
+        np.asarray(graph.senders)[:e],
+        np.asarray(graph.receivers)[:e],
+        np.asarray(graph.weights)[:e],
+        num_dst=n,
+        num_src=n,
+        block_size=block_size,
+    )
+    ws_mono, abs_idx, required = _sliding_monotonic(
+        nbr, nbr_w, win_start, block_size
+    )
+    window = max(window, _round_up(required, block_size))
+    window = min(window, src_pad)
+    if required > window:
+        raise ValueError("window cannot cover spans after monotonic adjustment")
+    ws, delta_blocks, abs_clamped, max_delta = _sliding_tables(
+        ws_mono, abs_idx, nbr_w, window, block_size, src_pad
+    )
+    ring_rows = window + max(max_delta, 1) * block_size
+    cols = (abs_clamped % ring_rows).astype(np.int32)
+    n_pad = nbr.shape[0]
+    deg = nbr.shape[1]
+
+    prow, pbit = _packed_row_bit(n_pad, block_size)
+    if device_build:
+        # Pre-gather the compact tables into tile order (g, 8, deg): the
+        # global row for (group g, bit b) inverts _packed_row_bit.
+        gpb = block_size // 8
+        gidx = np.arange(n_pad // 8)
+        rows = ((gidx // gpb)[:, None] * block_size
+                + np.arange(8)[None, :] * gpb + (gidx % gpb)[:, None])
+        packed = _pack_s_device(
+            jnp.asarray(cols[rows]), jnp.asarray(nbr_w[rows] != 0), ring_rows
+        )
+    else:
+        packed = np.zeros((n_pad // 8, ring_rows), np.uint8)
+        np.bitwise_or.at(
+            packed,
+            (np.repeat(prow, deg), cols.ravel()),
+            (((nbr_w != 0).astype(np.uint8) << pbit[:, None])).ravel(),
+        )
+
+    row_scale = np.zeros(n_pad, np.float32)
+    row_scale[:n] = a
+    col_scale = np.zeros(src_pad, np.float32)
+    col_scale[:n] = a
+    return SlidingPackedGraph(
+        packed=packed,
+        window_start=ws.astype(np.int32),
+        delta_blocks=delta_blocks,
+        row_scale=row_scale,
+        col_scale=col_scale,
+        num_nodes=n,
+        num_edges=e,
+        block_size=block_size,
+        window_size=int(window),
+        max_delta_blocks=max(max_delta, 1),
+        num_src_rows=src_pad,
+    )
+
+
+@struct.dataclass
 class MultiLevelGraph:
     """Union-of-levels mesh graph (GraphCast-style multimesh).
 

@@ -35,6 +35,7 @@ from gwen_tpu.graph.graph import (
     Graph,
     MultiLevelGraph,
     SlidingDenseGraph,
+    SlidingPackedGraph,
     SlidingRank1Graph,
     WindowedDenseGraph,
 )
@@ -149,6 +150,32 @@ def aggregate_sliding_dense_reference(graph: SlidingDenseGraph, x: Array) -> Arr
     return out[..., :out_rows, :]
 
 
+def aggregate_sliding_packed_reference(graph: SlidingPackedGraph, x: Array) -> Array:
+    """jnp reference for the bit-packed layout (validates the v5 kernel)."""
+    from gwen_tpu.graph.graph import _packed_row_bit
+
+    n = x.shape[-2]
+    # Tile-order unpack: global row i = bit pbit[i] of packed row prow[i].
+    prow, pbit = _packed_row_bit(graph.num_padded_nodes, graph.block_size)
+    s01 = (
+        (graph.packed[prow] >> jnp.asarray(pbit[:, None], jnp.uint8)) & 1
+    ).astype(x.dtype)
+    core = SlidingDenseGraph(
+        s_mat=s01,
+        window_start=graph.window_start,
+        delta_blocks=graph.delta_blocks,
+        num_nodes=graph.num_nodes,
+        num_edges=graph.num_edges,
+        block_size=graph.block_size,
+        window_size=graph.window_size,
+        max_delta_blocks=graph.max_delta_blocks,
+        num_src_rows=graph.num_src_rows,
+    )
+    xs = x * graph.col_scale[:n, None].astype(x.dtype)
+    out = aggregate_sliding_dense_reference(core, xs)
+    return out * graph.row_scale[: out.shape[-2], None].astype(out.dtype)
+
+
 def aggregate(graph, x: Array, backend: str = "auto") -> Array:
     """Dispatch aggregation by graph container type / requested backend."""
     # Late import: parallel depends on ops for local aggregation.
@@ -169,6 +196,12 @@ def aggregate(graph, x: Array, backend: str = "auto") -> Array:
 
             return spmm_windowed_dense(graph, x)
         return aggregate_windowed_dense_reference(graph, x)
+    if isinstance(graph, SlidingPackedGraph):
+        if backend in ("auto", "pallas"):
+            from gwen_tpu.ops.spmm_pallas import spmm_sliding_packed
+
+            return spmm_sliding_packed(graph, x)
+        return aggregate_sliding_packed_reference(graph, x)
     if isinstance(graph, SlidingRank1Graph):
         n = x.shape[-2]
         if backend in ("auto", "pallas"):

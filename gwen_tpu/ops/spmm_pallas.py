@@ -808,6 +808,209 @@ def spmm_sliding_dense(graph, x: Array, f_blk: "int | None" = None) -> Array:
     return out[:out_rows, :f]
 
 
+# --------------------------------- bit-packed rank-1 sliding kernel (v5)
+
+
+def _unpack_s01(packed, block, ring_rows, out_dtype):
+    """(block//8, ring) uint8 → (block, ring) 0/1 in ``out_dtype``.
+
+    The packing is TILE-ordered to match ``pltpu.repeat`` semantics (which
+    concatenates whole-array copies, measured on hardware — NOT an
+    elementwise repeat): block-local output row ``l`` is bit ``l // gpb`` of
+    packed row ``l % gpb`` where ``gpb = block // 8``. Tile-replicate ×8,
+    AND with the per-row bit mask, compare — ~3 VPU passes, no strided
+    access.
+    """
+    gpb = block // 8
+    if _interpret():
+        rep = jnp.tile(packed, (8, 1))
+    else:
+        rep = pltpu.repeat(packed, 8, axis=0)
+    mask = (1 << (jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0) // gpb))
+    bit = (rep & mask.astype(packed.dtype)) != 0
+    return bit.astype(out_dtype)
+
+
+def _sliding_packed_kernel(window, ring_rows, max_fill, num_blocks,
+                           ws_ref, db_ref, sp_ref, x_hbm, out_ref, ring, sems):
+    i = pl.program_id(0)
+    block = out_ref.shape[0]
+
+    def chunk(step, k):
+        base = jnp.where(step == 0, ws_ref[0],
+                         ws_ref[jnp.maximum(step - 1, 0)] + window)
+        src = pl.multiple_of(base + k * block, block)
+        dst = pl.multiple_of(jax.lax.rem(src, ring_rows), block)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(src, block), :],
+            ring.at[pl.ds(dst, block), :],
+            sems.at[k],
+        )
+
+    max_delta = max_fill[1]
+    max_fill = max_fill[0]
+
+    @pl.when(i == 0)
+    def _():
+        ring[:] = jnp.zeros_like(ring)
+        for k in range(max_fill):
+            @pl.when(k < db_ref[0])
+            def _(k=k):
+                chunk(0, k).start()
+        for k in range(max_fill):
+            @pl.when(k < db_ref[0])
+            def _(k=k):
+                chunk(0, k).wait()
+
+    @pl.when(i > 0)
+    def _():
+        for k in range(max_delta):
+            @pl.when(k < db_ref[i])
+            def _(k=k):
+                chunk(i, k).wait()
+
+    for k in range(max_delta):
+        @pl.when((i + 1 < num_blocks) & (k < db_ref[jnp.minimum(i + 1, num_blocks - 1)]))
+        def _(k=k):
+            chunk(i + 1, k).start()
+
+    s01 = _unpack_s01(sp_ref[:], block, ring_rows, ring.dtype)
+    prec = jax.lax.Precision.HIGHEST if ring.dtype == jnp.float32 else None
+    out_ref[:] = jnp.dot(
+        s01, ring[:],
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _sliding_packed_impl(ws, db, packed, x_pad, block, window, ring_rows,
+                         max_delta):
+    n_pad_dst = packed.shape[0] * 8
+    f_pad = x_pad.shape[1]
+    num_blocks = n_pad_dst // block
+    max_fill = (max(window // block, 1), max(max_delta, 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((block // 8, ring_rows), lambda i, ws_, db_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((block, f_pad), lambda i, ws_, db_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((ring_rows, f_pad), x_pad.dtype),
+            pltpu.SemaphoreType.DMA((max_fill[0],)),
+        ],
+    )
+    kernel = functools.partial(
+        _sliding_packed_kernel, window, ring_rows, max_fill, num_blocks
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad_dst, f_pad), x_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad_dst * ring_rows * f_pad,
+            bytes_accessed=packed.size
+            + x_pad.size * x_pad.dtype.itemsize
+            + n_pad_dst * f_pad * x_pad.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(ws, db, packed, x_pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _sliding_packed_diff(ws, db, packed, xp, block, window, ring_rows,
+                         max_delta):
+    return _sliding_packed_impl(ws, db, packed, xp, block, window, ring_rows,
+                                max_delta)
+
+
+def _sliding_packed_fwd(ws, db, packed, xp, block, window, ring_rows,
+                        max_delta):
+    return (
+        _sliding_packed_impl(ws, db, packed, xp, block, window, ring_rows,
+                             max_delta),
+        (ws, db, packed),
+    )
+
+
+def _sliding_packed_bwd(block, window, ring_rows, max_delta, res, g):
+    ws, db, packed = res
+    # S01 is the global binary adjacency (+ self loops) of an undirected
+    # graph: square and symmetric, so backward reuses the forward kernel.
+    gx = _sliding_packed_impl(ws, db, packed, g, block, window, ring_rows,
+                              max_delta)
+    return (None, None, None, gx.astype(g.dtype))
+
+
+_sliding_packed_diff.defvjp(_sliding_packed_fwd, _sliding_packed_bwd)
+
+
+def spmm_sliding_packed(graph, x: Array, f_blk: "int | None" = None) -> Array:
+    """Bit-packed rank-1 sliding aggregation (v5): the kernel streams the
+    row-packed binary S01 (8 rows/byte — 1/16 the HBM bytes of bf16 weighted
+    S), unpacks a (block, ring) tile in ~3 VPU passes, and runs the same
+    ring-buffered matmul as v4. Exact GCN scales apply outside. This is what
+    fits L9 (2.6M nodes) onto the MXU sliding path.
+
+    Leading batch dims fold into the feature axis (aggregation is node-wise
+    linear); ``f_blk`` optionally caps the column chunk width.
+    """
+    from gwen_tpu.graph.graph import SlidingPackedGraph
+
+    assert isinstance(graph, SlidingPackedGraph)
+    leading = x.shape[:-2]
+    n, f = x.shape[-2], x.shape[-1]
+    n_pad = graph.num_padded_nodes
+    src_rows = graph.num_src_rows
+    if n not in (graph.num_nodes, n_pad, src_rows):
+        raise ValueError(
+            f"x has {n} node rows; graph expects {graph.num_nodes} "
+            f"({n_pad} padded dst, {src_rows} src)"
+        )
+    out_rows = n if src_rows == n_pad else n_pad
+    xs = x * graph.col_scale[:n, None].astype(x.dtype)
+
+    if leading:
+        xm = jnp.moveaxis(xs.reshape((-1,) + x.shape[-2:]), 0, -1)
+        xm = xm.reshape(n, -1)
+    else:
+        xm = xs
+    fold = xm.shape[1]
+    f_pad = _round_up(fold, 128)
+    src_alloc = _round_up(src_rows, graph.block_size)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    w_budget = _SLIDING_RING_VMEM_BYTES // (graph.ring_rows * itemsize)
+    w_chunk = max((w_budget // 128) * 128, 128)
+    if f_blk is not None:
+        w_chunk = min(w_chunk, max(_round_up(f_blk, 128), 128))
+    w_chunk = min(w_chunk, f_pad)
+    xp = jnp.zeros((src_alloc, f_pad), xm.dtype)
+    xp = xp.at[: xm.shape[0], :fold].set(xm)
+
+    outs = []
+    for c0 in range(0, f_pad, w_chunk):
+        w = min(w_chunk, f_pad - c0)
+        outs.append(_sliding_packed_diff(
+            graph.window_start, graph.delta_blocks, graph.packed,
+            xp[:, c0:c0 + w],
+            graph.block_size, graph.window_size, graph.ring_rows,
+            graph.max_delta_blocks,
+        ))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    out = out[:out_rows, :fold]
+    if leading:
+        out = out.reshape(out_rows, f, -1)
+        out = jnp.moveaxis(out, -1, 0).reshape(leading + (out_rows, f))
+    return out * graph.row_scale[:out_rows, None].astype(out.dtype)
+
+
 def spmm_sliding_rank1(graph, x: Array, f_blk: "int | None" = None) -> Array:
     """int8 rank-1-factored sliding aggregation (v4.2): the kernel streams a
     *binary* int8 S01 (converted to the compute dtype in-VMEM — the stream is

@@ -348,3 +348,51 @@ def test_spmm_sliding_dense_chunked_paths(monkeypatch):
         np.asarray(jax.grad(f)(x)), np.asarray(jax.grad(fr)(x)),
         rtol=1e-4, atol=1e-4,
     )
+
+
+# ------------------------------------------ bit-packed rank-1 S (v5)
+
+
+def test_spmm_sliding_packed_matches_segment():
+    from gwen_tpu.graph import to_sliding_packed
+    from gwen_tpu.ops import aggregate
+    from gwen_tpu.ops.spmm_pallas import spmm_sliding_packed
+
+    g, _, n = _mesh_graph(levels=3)
+    sp = to_sliding_packed(g, block_size=32)
+    assert sp.packed.dtype == np.uint8
+    assert sp.packed.shape[0] * 8 == sp.num_padded_nodes
+    x = jnp.asarray(np.random.default_rng(15).normal(size=(n, 24)).astype(np.float32))
+    want = aggregate_segment(g, x)
+    got = spmm_sliding_packed(sp, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+    got2 = aggregate(sp, x, backend="reference")
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_sliding_packed_batched_and_grad():
+    from gwen_tpu.graph import to_sliding_packed
+    from gwen_tpu.ops.spmm_pallas import spmm_sliding_packed
+
+    g, _, n = _mesh_graph()
+    sp = to_sliding_packed(g, block_size=32)
+    xb = jnp.asarray(np.random.default_rng(16).normal(size=(2, n, 8)).astype(np.float32))
+    got = spmm_sliding_packed(sp, xb)
+    want = jax.vmap(lambda x: aggregate_segment(g, x))(xb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    x = xb[0]
+    f = lambda xx: jnp.sum(jnp.sin(spmm_sliding_packed(sp, xx)))
+    fr = lambda xx: jnp.sum(jnp.sin(aggregate_segment(g, xx)))
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(x)), np.asarray(jax.grad(fr)(x)), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_sliding_packed_device_build_matches_host():
+    from gwen_tpu.graph import to_sliding_packed
+
+    g, _, n = _mesh_graph()
+    host = to_sliding_packed(g, block_size=32)
+    dev = to_sliding_packed(g, block_size=32, device_build=True)
+    np.testing.assert_array_equal(np.asarray(dev.packed), host.packed)
