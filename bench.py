@@ -138,6 +138,59 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Secondary machine-readable metrics (round-1 verdict #6): EPD train-step
+    # time at the same level, written to BENCH_EXTRA.json next to this script
+    # (stdout keeps the single-line driver contract above).
+    if os.environ.get("GWEN_BENCH_TRAIN", "1") == "1":
+        import optax
+
+        from gwen_tpu.nn import EncodeProcessDecode
+        from gwen_tpu.profiling import scan_timeit
+        from gwen_tpu.train import TrainState
+
+        latent, steps = 256, 4
+        model = EncodeProcessDecode(
+            channels_in=feats, channels_out=feats, latent_size=latent,
+            process_steps=steps, compute_dtype=jnp.bfloat16,
+        )
+        params = model.init(jax.random.key(0))
+        opt = optax.adam(1e-4)
+        state = TrainState.create(params, opt)
+        y = x * jnp.asarray(0.9, x.dtype)
+
+        def train_step(st, gr, xx, yy):
+            def loss(p):
+                pred = model.apply(p, gr, xx)
+                return jnp.mean((pred - yy) ** 2)
+
+            lval, grads = jax.value_and_grad(loss)(st.params)
+            updates, opt_state = opt.update(grads, st.opt_state, st.params)
+            import optax as _o
+
+            return TrainState(params=_o.apply_updates(st.params, updates),
+                              opt_state=opt_state, step=st.step + 1)
+
+        t_step = scan_timeit(train_step, state, pg, x, y,
+                             iters=max(iters // 4, 5))["mean_s"]
+        extra = {
+            "metric": "epd_train_step_ms",
+            "level": levels, "nodes": n, "edges": edges,
+            "latent": latent, "process_steps": steps, "kernel": kernel,
+            "value": round(t_step * 1e3, 3), "unit": "ms",
+            "train_edges_per_s": round(edges * steps * 3 / t_step, 1),
+            "agg_ms": round(t_pallas * 1e3, 3),
+            "agg_edges_per_s": round(eps_pallas, 1),
+            "vs_segment_baseline": (round(eps_pallas / eps_seg, 3)
+                                    if eps_seg == eps_seg else None),
+            "backend": jax.default_backend(),
+            "ts": time.time(),
+        }
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_EXTRA.json")
+        with open(out_path, "w") as f:
+            f.write(json.dumps(extra) + "\n")
+        print(f"# train-step: {json.dumps(extra)}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()
