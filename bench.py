@@ -59,8 +59,6 @@ def _time(agg, graph, x, iters: int) -> float:
 
 
 def main() -> None:
-    import functools
-
     import jax
     import jax.numpy as jnp
 

@@ -38,7 +38,7 @@ def measure(parts: int, height: int, width_per_part: int, feats: int = 32,
     from gwen_tpu.graph import grid2d_edges
     from gwen_tpu.nn import EncodeProcessDecode
     from gwen_tpu.parallel import make_partitioned_apply, partition_graph
-    from gwen_tpu.train import TrainState, make_mesh
+    from gwen_tpu.train import make_mesh
 
     h, w = height, width_per_part * parts
     s, r = grid2d_edges(h, w)

@@ -54,7 +54,8 @@ def main(argv: list[str] | None = None) -> int:
         if name == "train-mesh":
             p.add_argument("--members", type=int, default=4)
             p.add_argument("--steps", type=int, default=16)
-            p.add_argument("--data", default="", help="mesh-ensemble zarr store (default: synthetic)")
+            p.add_argument("--data", default="",
+                           help="mesh-ensemble zarr store (default: synthetic)")
 
     rns = sub.add_parser("runs")
     rns.add_argument("--experiment", default=None, help="default: all experiments")

@@ -22,7 +22,6 @@ log = get_logger()
 def main(config: GwenConfig, animate: bool = True, out_dir: str = "output") -> dict:
     import jax
     import jax.numpy as jnp
-    import optax
 
     from gwen_tpu.data.dataset import ConvEnsembleDataset, load_data
     from gwen_tpu.nn.unet import UNet

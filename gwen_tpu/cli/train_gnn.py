@@ -21,7 +21,6 @@ log = get_logger()
 
 def main(config: GwenConfig, animate: bool = True, out_dir: str = "output") -> dict:
     import jax
-    import optax
 
     from gwen_tpu import losses
     from gwen_tpu.data.dataset import MemberGraphDataset, load_data

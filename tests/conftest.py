@@ -15,6 +15,11 @@ import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# The suite is compile-bound (~300 s of XLA:CPU compiles); a persistent
+# compile cache cuts repeat runs to the actual test work.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu_tests")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 @pytest.fixture(scope="session")

@@ -7,7 +7,7 @@ idea, but generate it instead of shipping binary data).
 import numpy as np
 import pytest
 
-from gwen_tpu.config import DataConfig, TrainConfig
+from gwen_tpu.config import DataConfig
 from gwen_tpu.data import netcdf, zarrstore
 from gwen_tpu.data.dataset import ConvEnsembleDataset, MemberGraphDataset, load_data
 from gwen_tpu.data.ingest import find_member_files, ingest

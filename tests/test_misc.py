@@ -1,6 +1,5 @@
 """Logging, profiling, and version surface tests."""
 
-import logging
 
 import jax.numpy as jnp
 import numpy as np

@@ -211,8 +211,6 @@ def test_checkpoint_auto_resume(tmp_path):
 
 
 def test_optimizer_schedules():
-    import jax.numpy as jnp
-
     from gwen_tpu.train.optim import make_optimizer, make_schedule
 
     cyc = make_schedule(1e-3, "cyclic", cycle_steps=100, min_lr_factor=0.1)
@@ -248,7 +246,8 @@ def test_gnn_loss_uses_unmasked_target():
     """Regression: with mask_inputs batches, loss compares to ground truth."""
     from gwen_tpu.data.dataset import MemberGraphDataset
 
-    data = np.abs(np.random.default_rng(7).normal(size=(2, N_MEMBERS, H, C))).astype(np.float32) + 1.0
+    data = np.abs(np.random.default_rng(7).normal(
+        size=(2, N_MEMBERS, H, C))).astype(np.float32) + 1.0
     ds = MemberGraphDataset(data=data, member_split=4, seed=1, mask_inputs=True)
     model = GCNStack(channels_in=H * C, channels_out=H * C, hidden_feats=8)
     graph = _graph()
