@@ -22,7 +22,6 @@ log = get_logger()
 def main(config: GwenConfig, animate: bool = True, out_dir: str = "output") -> dict:
     import jax
 
-    from gwen_tpu import losses
     from gwen_tpu.data.dataset import MemberGraphDataset, load_data
     from gwen_tpu.graph import build_graph, erdos_renyi_edges, to_dense
     from gwen_tpu.nn import GCNStack
@@ -46,15 +45,20 @@ def main(config: GwenConfig, animate: bool = True, out_dir: str = "output") -> d
     s, r = erdos_renyi_edges(ds.num_nodes, config.graph.edge_prob, seed=tcfg.seed)
     graph = to_dense(build_graph(s, r, ds.num_nodes, self_loops=config.graph.self_loops))
 
-    # Spatial variance mask (train_gnn.py:88-96).
+    # Spatial variance mask (train_gnn.py:88-96), computed as a streaming
+    # per-cell time variance so it works for lazy (chunked) fields too.
     feat_mask = None
     if tcfg.mask_threshold > 0:
-        flat = train_np.reshape(train_np.shape[0], -1)
-        feat_mask = np.asarray(
-            losses.variance_mask(flat.reshape(train_np.shape[0], ds.num_nodes, -1),
-                                 tcfg.mask_threshold)
-        )
-        feat_mask = feat_mask.max(axis=0)  # over members → per-feature
+        t_len = train_np.shape[0]
+        s1 = np.zeros(train_np.shape[1:], np.float64)
+        s2 = np.zeros_like(s1)
+        for t in range(t_len):
+            step = np.asarray(train_np[t], np.float64)  # (member, h, c)
+            s1 += step
+            s2 += step * step
+        var = s2 / t_len - (s1 / t_len) ** 2
+        fm = (var > tcfg.mask_threshold).reshape(ds.num_nodes, -1)
+        feat_mask = fm.max(axis=0).astype(np.float32)  # over members → per-feature
 
     model = GCNStack(
         channels_in=ds.num_features, channels_out=ds.num_features,

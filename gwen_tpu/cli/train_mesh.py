@@ -43,10 +43,11 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
     tcfg = config.train
     levels = config.graph.refine
 
+    lazy = bool(data) and config.data.lazy
     if data:
         from gwen_tpu.data.meshstore import load_mesh_dataset
 
-        fields, s, r, verts, _meta = load_mesh_dataset(data)
+        fields, s, r, verts, _meta = load_mesh_dataset(data, lazy=lazy)
         members = fields.shape[1]
     else:
         fields, verts, s, r = mesh_ensemble_dataset(
@@ -55,7 +56,12 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
     n = fields.shape[2]
     perm = rcm_order(s, r, n)
     s2, r2, _ = apply_order(perm, s, r)
-    fields = np.take(fields, perm, axis=2)
+    if lazy:
+        # Streaming path (data.lazy=true): node reorder composes onto each
+        # step read; the archive never materializes in host RAM.
+        fields = fields.map(lambda step: np.take(step, perm, axis=1))
+    else:
+        fields = np.take(fields, perm, axis=2)
     ch = fields.shape[-1]
 
     compute_dtype = (
@@ -97,7 +103,10 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
             ),
         )
         apply_fn = make_partitioned_apply(model, pg, mesh)
-        fields = pg.pad_nodes(fields)
+        if lazy:
+            fields = fields.map(lambda s: pg.pad_nodes(s, node_axis=-2))
+        else:
+            fields = pg.pad_nodes(fields)
         global_graph = build_graph(s2, r2, n)  # for skill eval / calibration
         context = apply_fn.tables
 
@@ -179,7 +188,8 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
         global_graph = g
 
     # Train on all members except the last (held out for skill verification).
-    ds = MeshEnsembleDataset(fields=fields[:, :-1])
+    train_fields = fields.map(lambda s: s[:-1]) if lazy else fields[:, :-1]
+    ds = MeshEnsembleDataset(fields=train_fields)
     params = model.init(jax.random.key(tcfg.seed))
     from gwen_tpu.train.optim import make_optimizer
 

@@ -55,6 +55,10 @@ class DataConfig:
     # Path where normalization scale factors are persisted
     # (reference: data/scaling.txt, preprocess_data.py:103-104).
     scaling_path: str = "data/scaling.json"
+    # Stream time steps from the store instead of loading it into host RAM
+    # (reference stays lazy via dask, utils.py:478-520): host memory scales
+    # with the per-step slab + a small LRU, not the archive size.
+    lazy: bool = False
 
 
 @dataclass

@@ -28,13 +28,24 @@ from gwen_tpu.data import zarrstore
 from gwen_tpu.data.preprocess import coarsen_block_mean
 
 
-def load_split(config: DataConfig, which: str = "train") -> tuple[np.ndarray, dict]:
-    """Load the train or test store as (time, member, height, ncells) float32."""
+def load_split(config: DataConfig, which: str = "train"):
+    """Load the train or test store as (time, member, height, ncells) float32.
+
+    With ``config.lazy`` the returned value is a
+    :class:`~gwen_tpu.data.lazy.LazyField` — time steps stream from the
+    store on access (the reference's dask laziness, utils.py:478-520), so
+    host memory scales with the per-step slab, not the archive. The datasets
+    below consume either form.
+    """
     path = config.data_train if which == "train" else config.data_test
     arr = zarrstore.open_array(path)
+    want = ["time", "member", "height", "ncells"]
+    if config.lazy:
+        from gwen_tpu.data.lazy import LazyField
+
+        return LazyField(arr, want_dims=want, coarsen=config.coarsen), arr.meta
     values = arr.read().astype(np.float32)
     dims = list(arr.dims)
-    want = ["time", "member", "height", "ncells"]
     if set(want) <= set(dims):
         values = np.transpose(values, [dims.index(d) for d in want])
     if config.coarsen > 1:
@@ -42,7 +53,7 @@ def load_split(config: DataConfig, which: str = "train") -> tuple[np.ndarray, di
     return values, arr.meta
 
 
-def load_data(config: DataConfig) -> tuple[np.ndarray, np.ndarray, dict]:
+def load_data(config: DataConfig):
     """(train, test, meta) — utils.py:478-520 + coarsening (utils.py:445-475)."""
     train, meta = load_split(config, "train")
     test, _ = load_split(config, "test")

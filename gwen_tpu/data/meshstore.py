@@ -51,8 +51,13 @@ def save_mesh_dataset(
     return path
 
 
-def load_mesh_dataset(path: str | Path):
-    """Returns (fields, senders, receivers, verts, meta)."""
+def load_mesh_dataset(path: str | Path, lazy: bool = False):
+    """Returns (fields, senders, receivers, verts, meta).
+
+    ``lazy=True`` returns the fields as a streaming
+    :class:`~gwen_tpu.data.lazy.LazyField` — required once archives outgrow
+    host RAM; ``MeshEnsembleDataset`` consumes either form.
+    """
     path = Path(path)
     arr = zarrstore.open_array(path)
     if arr.meta.get("kind") != "mesh-ensemble":
@@ -61,4 +66,10 @@ def load_mesh_dataset(path: str | Path):
     if not gp.exists():
         raise FileNotFoundError(f"missing graph sidecar {gp}")
     z = np.load(gp)
-    return arr.read(), z["senders"], z["receivers"], z["verts"], arr.meta
+    if lazy:
+        from gwen_tpu.data.lazy import LazyField
+
+        fields = LazyField(arr)
+    else:
+        fields = arr.read()
+    return fields, z["senders"], z["receivers"], z["verts"], arr.meta
