@@ -26,4 +26,7 @@ python -m compileall -q gwen_tpu tests benchmarks bench.py __graft_entry__.py
 echo "== pytest =="
 python -m pytest tests/ -q
 
+echo "== multi-process dryrun =="
+python tools/multiproc_dryrun.py
+
 echo "CI OK"
