@@ -20,6 +20,9 @@ if command -v mypy >/dev/null 2>&1; then
   mypy gwen_tpu
 fi
 
+echo "== api docs (tools/gen_docs.py --check) =="
+python tools/gen_docs.py --check
+
 echo "== compileall =="
 python -m compileall -q gwen_tpu tests benchmarks bench.py __graft_entry__.py
 
