@@ -246,6 +246,7 @@ def ell_tables(
     window_size: Optional[int] = None,
     lane_multiple: int = 8,
     max_degree: Optional[int] = None,
+    forced_window_start: Optional[np.ndarray] = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
     """Build blocked-ELL tables from COO (host-side).
 
@@ -254,6 +255,12 @@ def ell_tables(
     where ``nbr_rel`` indices are relative to each destination block's
     128-aligned source window and ``src_rows`` is the padded source-row count
     every window stays within.
+
+    ``forced_window_start`` (block-aligned, one per destination block)
+    overrides the per-block min-source placement — used by the escape-window
+    sliding layout, where window positions are chosen by edge density and
+    out-of-window edges were already split off. Every remaining edge must fit
+    ``[start, start + window_size)`` or a ``ValueError`` is raised.
     """
     s = np.asarray(senders, np.int64)
     r = np.asarray(receivers, np.int64)
@@ -281,18 +288,36 @@ def ell_tables(
     nbr_w[r, slot] = w
 
     num_blocks = n_pad // block_size
-    lo = np.full(num_blocks, src_pad, np.int64)
-    hi = np.zeros(num_blocks, np.int64)
     blk = r // block_size
-    np.minimum.at(lo, blk, s)
-    np.maximum.at(hi, blk, s + 1)
-    empty = lo > hi
-    lo[empty], hi[empty] = 0, 1
-    # Align window starts down to the block size (clean DMA alignment for the
-    # Pallas kernel); spans are measured from the aligned start.
-    lo = (lo // block_size) * block_size
-    spans = hi - lo
-    max_span = int(spans.max()) if num_blocks else 1
+    if forced_window_start is not None:
+        lo = np.asarray(forced_window_start, np.int64)
+        if lo.shape != (num_blocks,):
+            raise ValueError(
+                f"forced_window_start has shape {lo.shape}, "
+                f"expected ({num_blocks},)"
+            )
+        if (lo % block_size).any():
+            raise ValueError("forced_window_start must be block-aligned")
+        if window_size is None:
+            raise ValueError("forced_window_start requires window_size")
+        rel_chk = s - lo[blk]
+        if e and (rel_chk.min() < 0 or rel_chk.max() >= int(window_size)):
+            raise ValueError(
+                "edges escape the forced windows; split escapes first"
+            )
+        max_span = int(rel_chk.max()) + 1 if e else 1
+    else:
+        lo = np.full(num_blocks, src_pad, np.int64)
+        hi = np.zeros(num_blocks, np.int64)
+        np.minimum.at(lo, blk, s)
+        np.maximum.at(hi, blk, s + 1)
+        empty = lo > hi
+        lo[empty], hi[empty] = 0, 1
+        # Align window starts down to the block size (clean DMA alignment for
+        # the Pallas kernel); spans are measured from the aligned start.
+        lo = (lo // block_size) * block_size
+        spans = hi - lo
+        max_span = int(spans.max()) if num_blocks else 1
     if window_size is None:
         window_size = max(_round_up(max_span, block_size), block_size)
     # Round user-supplied windows up to a block multiple — window starts must
@@ -567,6 +592,12 @@ class SlidingDenseGraph:
     window_size: int = struct.field(pytree_node=False)
     max_delta_blocks: int = struct.field(pytree_node=False)
     num_src_rows: int = struct.field(pytree_node=False)
+    # Escape-window layout (``to_sliding_dense(window_size=...)`` +
+    # ``kd_patch_order``): the few edges that do not fit the narrowed window.
+    # The escape set is symmetrized at build time so the in-window part of S
+    # stays symmetric — which is what keeps the kernel's
+    # backward-reuses-forward custom VJP exact (and the fixup's own).
+    escape: Optional["EscapeFixup"] = None
 
     @property
     def num_padded_nodes(self) -> int:
@@ -579,6 +610,40 @@ class SlidingDenseGraph:
     @property
     def num_blocks(self) -> int:
         return int(self.window_start.shape[0])
+
+
+@struct.dataclass
+class EscapeFixup:
+    """Gather-only fixup for out-of-window edges of the escape-window layout.
+
+    XLA scatter/segment_sum over a sparse escape set is slow on TPU (measured
+    8 ms for 79k edges at L8 — nearly the cost of the whole kernel), so the
+    fixup is formulated entirely with gathers:
+
+    * ``nbr``/``w``: ELL lists over the *unique* escape receivers — gather
+      ``x[nbr]`` and contract with ``w`` (``deg`` is the max escapes per
+      receiver, ~node degree).
+    * ``inv_map``: destination row → its slot among the unique receivers
+      (rows with no escapes point at a trailing all-zero slot), so placing
+      the fixup into the full output is ``fix[inv_map]`` — an inverse-
+      permutation *gather*, not a scatter (receivers are unique rows).
+
+    The escape edge set is symmetric (build-time symmetrization), so the
+    fixup operator E satisfies Eᵀ = E and its backward is itself — the fast
+    path never runs a gather-transpose scatter even under autodiff.
+
+    ``senders``/``receivers``/``weights`` keep the raw COO list (receiver-
+    sorted, zero-weight padding) for tests and the segment-sum reference.
+    """
+
+    senders: Array  # (E_pad,) int32
+    receivers: Array  # (E_pad,) int32
+    weights: Array  # (E_pad,) float32 — 0 on padding
+    nbr: Array  # (U_pad, deg) int32 — escape sources per unique receiver
+    w: Array  # (U_pad, deg) float32 — 0 on padding; trailing rows all-zero
+    inv_map: Array  # (N,) int32 — dst row → row of nbr/w (zero row if none)
+    num_edges: int = struct.field(pytree_node=False)
+    num_nodes: int = struct.field(pytree_node=False)
 
 
 def _sliding_monotonic(
@@ -658,28 +723,152 @@ def _build_s_ring(cols, nbr_w, ring_rows, dtype, device_build):
     return s_mat
 
 
+def _densest_window_starts(
+    s: np.ndarray, r: np.ndarray, num_blocks: int, window: int, block: int
+) -> np.ndarray:
+    """Per destination block: the block-aligned window start covering the
+    most edges, made monotonically nondecreasing (running max — measured to
+    cost zero extra escapes on KD+RCM-ordered meshes, since densest windows
+    track the matrix diagonal)."""
+    blk = r // block
+    order = np.lexsort((s, blk))
+    s_o, blk_o = s[order], blk[order]
+    counts = np.bincount(blk_o, minlength=num_blocks)
+    bounds = np.zeros(num_blocks + 1, np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    ws = np.zeros(num_blocks, np.int64)
+    for b in range(num_blocks):
+        lo, hi = bounds[b], bounds[b + 1]
+        if hi == lo:
+            continue
+        src = s_o[lo:hi]  # sorted within the block
+        cand = np.unique(src // block) * block
+        cov = np.searchsorted(src, cand + window, side="left") - np.searchsorted(
+            src, cand, side="left"
+        )
+        ws[b] = cand[int(np.argmax(cov))]
+    return np.maximum.accumulate(ws)
+
+
+def _symmetric_escape_mask(
+    s: np.ndarray, r: np.ndarray, esc: np.ndarray, num_nodes: int
+) -> np.ndarray:
+    """OR the escape flag across each undirected edge pair, so the in-window
+    remainder stays symmetric (S = Sᵀ ⇒ the sliding kernels' custom VJP —
+    backward = forward — remains exact)."""
+    key = np.minimum(s, r).astype(np.int64) * np.int64(num_nodes) + np.maximum(s, r)
+    uniq, inv = np.unique(key, return_inverse=True)
+    esc_any = np.zeros(uniq.size, bool)
+    np.logical_or.at(esc_any, inv, esc)
+    return esc_any[inv]
+
+
+def _build_escape_fixup(
+    es: np.ndarray,
+    er: np.ndarray,
+    ew: np.ndarray,
+    num_nodes: int,
+    pad_multiple: int,
+) -> EscapeFixup:
+    """Host-side tables for the gather-only escape fixup (see
+    :class:`EscapeFixup`)."""
+    n_esc = es.shape[0]
+    eorder = np.argsort(er, kind="stable")
+    es, er, ew = es[eorder], er[eorder], ew[eorder]
+    # COO (receiver-sorted) for reference/tests.
+    pad = _round_up(n_esc, pad_multiple)
+    coo_s = np.zeros(pad, np.int32)
+    coo_r = np.zeros(pad, np.int32)
+    coo_w = np.zeros(pad, np.float32)
+    coo_s[:n_esc], coo_r[:n_esc], coo_w[:n_esc] = es, er, ew
+    # ELL over unique receivers + inverse map (trailing all-zero row).
+    uniq, inv = np.unique(er, return_inverse=True)
+    counts = np.bincount(inv)
+    deg = max(_round_up(int(counts.max()), 8), 8)
+    u_pad = _round_up(uniq.size + 1, 8)  # ≥1 trailing zero row
+    nbr = np.zeros((u_pad, deg), np.int32)
+    w_ell = np.zeros((u_pad, deg), np.float32)
+    starts = np.zeros(uniq.size + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(n_esc) - starts[inv]
+    nbr[inv, slot] = es
+    w_ell[inv, slot] = ew
+    inv_map = np.full(num_nodes, u_pad - 1, np.int32)  # default: zero row
+    inv_map[uniq] = np.arange(uniq.size, dtype=np.int32)
+    return EscapeFixup(
+        senders=coo_s,
+        receivers=coo_r,
+        weights=coo_w,
+        nbr=nbr,
+        w=w_ell,
+        inv_map=inv_map,
+        num_edges=int(n_esc),
+        num_nodes=num_nodes,
+    )
+
+
 def to_sliding_dense(
     graph: Graph,
     *,
     block_size: int = 128,
     dtype=np.float32,
     device_build: bool = False,
+    window_size: Optional[int] = None,
+    escape_pad_multiple: int = 1024,
 ) -> SlidingDenseGraph:
     """Build the sliding-ring streamed-S layout (v4 kernel).
 
     ``device_build=True`` expands the big S array on device from compact
     O(edges) tables (see :func:`to_windowed_dense`); required in practice at
     L8+ scale where S is GBs and host→device placement would dominate.
+
+    ``window_size`` (optional) narrows the streamed window below the graph's
+    full band: per destination block the densest block-aligned window is
+    chosen, and edges that do not fit (symmetrized — see
+    :func:`_symmetric_escape_mask`) go to ``.escape``, a padded COO graph the
+    aggregation adds back via ``segment_sum``. With a locality ordering such
+    as :func:`gwen_tpu.graph.reorder.kd_patch_order`, a ~4-8x narrower window
+    covers ~98 % of edges — S bytes and matmul flops (both ∝ window) shrink
+    by the same factor, which is the L8+ unlock where the dense-S matmul is
+    the wall (flops ∝ N·window).
     """
     e = graph.num_edges
     n = graph.num_nodes
+    s_np = np.asarray(graph.senders)[:e]
+    r_np = np.asarray(graph.receivers)[:e]
+    w_np = np.asarray(graph.weights)[:e]
+    escape: Optional[Graph] = None
+    forced_ws = None
+    if window_size is not None:
+        window_size = _round_up(int(window_size), block_size)
+        n_pad = _round_up(max(n, 1), block_size)
+        src_pad = n_pad
+        num_blocks = n_pad // block_size
+        ws = _densest_window_starts(s_np, r_np, num_blocks, window_size, block_size)
+        # Pre-clamp into the padded source axis so the escape mask is
+        # computed against the starts the kernel will actually use.
+        ws = np.clip(ws, 0, max(src_pad - window_size, 0))
+        blk = r_np // block_size
+        out_of_win = (s_np < ws[blk]) | (s_np >= ws[blk] + window_size)
+        esc_mask = _symmetric_escape_mask(s_np, r_np, out_of_win, n)
+        n_esc = int(esc_mask.sum())
+        if n_esc:
+            escape = _build_escape_fixup(
+                s_np[esc_mask], r_np[esc_mask], w_np[esc_mask], n,
+                escape_pad_multiple,
+            )
+            keep = ~esc_mask
+            s_np, r_np, w_np = s_np[keep], r_np[keep], w_np[keep]
+        forced_ws = ws
     nbr, nbr_w, win_start, window, src_pad = ell_tables(
-        np.asarray(graph.senders)[:e],
-        np.asarray(graph.receivers)[:e],
-        np.asarray(graph.weights)[:e],
+        s_np,
+        r_np,
+        w_np,
         num_dst=n,
         num_src=n,
         block_size=block_size,
+        window_size=window_size,
+        forced_window_start=forced_ws,
     )
     ws_mono, abs_idx, required = _sliding_monotonic(
         nbr, nbr_w, win_start, block_size
@@ -705,6 +894,7 @@ def to_sliding_dense(
         window_size=int(window),
         max_delta_blocks=max(max_delta, 1),
         num_src_rows=src_pad,
+        escape=escape,
     )
 
 

@@ -147,7 +147,11 @@ def aggregate_sliding_dense_reference(graph: SlidingDenseGraph, x: Array) -> Arr
     out = jnp.concatenate(outs, axis=-2)
     n_pad = graph.num_padded_nodes
     out_rows = n if graph.num_src_rows == n_pad else n_pad
-    return out[..., :out_rows, :]
+    out = out[..., :out_rows, :]
+    # Escape-window fixup (same composite as the Pallas path).
+    from gwen_tpu.ops.spmm_pallas import _sliding_escape_add
+
+    return _sliding_escape_add(graph, x, out)
 
 
 def aggregate_sliding_packed_reference(graph: SlidingPackedGraph, x: Array) -> Array:

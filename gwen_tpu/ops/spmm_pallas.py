@@ -727,6 +727,51 @@ def _sliding_bwd_b(block, window, ring_rows, max_delta, res, g):
 _sliding_diff_b.defvjp(_sliding_fwd_b, _sliding_bwd_b)
 
 
+def _escape_fix_impl(nbr, w, inv_map, x: Array) -> Array:
+    """Gather-only escape aggregation: ``x[nbr]`` + ELL contraction over the
+    unique escape receivers, placed into full rows by an inverse-permutation
+    gather (receivers are unique ⇒ no scatter anywhere). Shapes:
+    nbr/w (U_pad, deg), inv_map (N,), x (..., N, F) → (..., N, F)."""
+    gathered = jnp.take(x, nbr, axis=-2)  # (..., U_pad, deg, F)
+    fix = jnp.einsum("ud,...udf->...uf", w.astype(x.dtype), gathered)
+    return jnp.take(fix, inv_map, axis=-2)  # (..., N, F)
+
+
+@jax.custom_vjp
+def _escape_fix_diff(nbr, w, inv_map, x):
+    return _escape_fix_impl(nbr, w, inv_map, x)
+
+
+def _escape_fix_fwd(nbr, w, inv_map, x):
+    return _escape_fix_impl(nbr, w, inv_map, x), (nbr, w, inv_map)
+
+
+def _escape_fix_bwd(res, g):
+    # The escape edge set is symmetrized at build time (Eᵀ = E), so the
+    # backward is the forward on the cotangent — autodiff would otherwise
+    # transpose the gathers into TPU-hostile scatters.
+    nbr, w, inv_map = res
+    return (None, None, None, _escape_fix_impl(nbr, w, inv_map, g))
+
+
+_escape_fix_diff.defvjp(_escape_fix_fwd, _escape_fix_bwd)
+
+
+def _sliding_escape_add(graph, x: Array, out: Array) -> Array:
+    """Add the escape-window fixup (``SlidingDenseGraph.escape``): the few
+    out-of-window edges, aggregated scatter-free (see
+    ``gwen_tpu.graph.graph.EscapeFixup``) on top of the kernel output."""
+    esc = getattr(graph, "escape", None)
+    if esc is None:
+        return out
+    n = graph.num_nodes
+    eout = _escape_fix_diff(esc.nbr, esc.w, esc.inv_map, x[..., :n, :])
+    if out.shape[-2] != n:
+        pad = [(0, 0)] * (out.ndim - 2) + [(0, out.shape[-2] - n), (0, 0)]
+        eout = jnp.pad(eout, pad)
+    return out + eout.astype(out.dtype)
+
+
 def spmm_sliding_dense(graph, x: Array, f_blk: "int | None" = None) -> Array:
     """Sliding-ring streamed-S aggregation (v4): delta window DMA + one MXU
     matmul per destination block over the full folded feature width; HBM
@@ -738,7 +783,18 @@ def spmm_sliding_dense(graph, x: Array, f_blk: "int | None" = None) -> Array:
     (rounded up to a lane multiple of 128); by default the chunk width is
     derived from the ring's VMEM budget — the fastest choice, since every
     extra column chunk re-streams S once.
+
+    Escape-window graphs (``graph.escape`` set by
+    ``to_sliding_dense(window_size=...)``) add the out-of-window edges back
+    via a ``segment_sum`` fixup over the escape COO list.
     """
+    return _sliding_escape_add(
+        graph, x, _spmm_sliding_dense_core(graph, x, f_blk)
+    )
+
+
+def _spmm_sliding_dense_core(graph, x: Array, f_blk: "int | None" = None) -> Array:
+    """The kernel path of :func:`spmm_sliding_dense` (in-window edges only)."""
     from gwen_tpu.graph.graph import SlidingDenseGraph
 
     assert isinstance(graph, SlidingDenseGraph)
@@ -766,7 +822,7 @@ def spmm_sliding_dense(graph, x: Array, f_blk: "int | None" = None) -> Array:
         per_b = graph.ring_rows * f_pad * itemsize
         if per_b > _SLIDING_RING_VMEM_BYTES:
             # Very wide features: per-sample calls with column chunking.
-            out = jnp.stack([spmm_sliding_dense(graph, xb[b])
+            out = jnp.stack([_spmm_sliding_dense_core(graph, xb[b])
                              for b in range(nb)])
             return out.reshape(leading + out.shape[-2:])
         nb_chunk = max(_SLIDING_RING_VMEM_BYTES // per_b, 1)

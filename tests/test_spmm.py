@@ -396,3 +396,90 @@ def test_sliding_packed_device_build_matches_host():
     host = to_sliding_packed(g, block_size=32)
     dev = to_sliding_packed(g, block_size=32, device_build=True)
     np.testing.assert_array_equal(np.asarray(dev.packed), host.packed)
+
+
+# -------------------------------- escape-window sliding layout (v6: narrow
+# window + symmetrized out-of-window COO fixup; kd_patch_order ordering)
+
+
+def _kd_escape_graph(levels=3, leaf_size=128, window_size=256, block=32):
+    from gwen_tpu.graph import build_graph, kd_patch_order, to_sliding_dense
+    from gwen_tpu.graph.build import icosphere_edges
+
+    verts, s, r = icosphere_edges(levels)
+    n = verts.shape[0]
+    perm = kd_patch_order(verts, s, r, n, leaf_size=leaf_size)
+    s, r, _ = apply_order(perm, s, r)
+    g = build_graph(s, r, n)
+    sd = to_sliding_dense(g, block_size=block, window_size=window_size)
+    return g, sd, n
+
+
+def test_kd_patch_order_is_permutation():
+    from gwen_tpu.graph import kd_patch_order
+    from gwen_tpu.graph.build import icosphere_edges
+
+    verts, s, r = icosphere_edges(2)
+    n = verts.shape[0]
+    perm = kd_patch_order(verts, s, r, n, leaf_size=64)
+    assert perm.shape == (n,)
+    assert np.array_equal(np.sort(perm), np.arange(n))
+
+
+def test_escape_window_layout_matches_segment():
+    g, sd, n = _kd_escape_graph()
+    # The narrowed window must actually produce escapes for this test to
+    # exercise the fixup path.
+    assert sd.escape is not None and sd.escape.num_edges > 0
+    # In-window + escape edges account for every edge exactly once.
+    s01 = np.asarray(sd.s_mat) != 0
+    assert s01.sum() + sd.escape.num_edges == g.num_edges
+    from gwen_tpu.ops.spmm_pallas import spmm_sliding_dense
+
+    x = jnp.asarray(np.random.default_rng(21).normal(size=(n, 24)).astype(np.float32))
+    got = spmm_sliding_dense(sd, x)
+    want = aggregate_segment(g, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+    # The jnp reference takes the same composite path.
+    from gwen_tpu.ops.aggregate import aggregate_sliding_dense_reference
+
+    ref = aggregate_sliding_dense_reference(sd, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_escape_window_grad_and_batched():
+    from gwen_tpu.ops.spmm_pallas import spmm_sliding_dense
+
+    g, sd, n = _kd_escape_graph()
+    xb = jnp.asarray(np.random.default_rng(22).normal(size=(2, n, 8)).astype(np.float32))
+    got = spmm_sliding_dense(sd, xb)
+    want = jax.vmap(lambda x: aggregate_segment(g, x))(xb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    x = xb[0]
+    f = lambda xx: jnp.sum(jnp.sin(spmm_sliding_dense(sd, xx)))
+    fr = lambda xx: jnp.sum(jnp.sin(aggregate_segment(g, xx)))
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(x)), np.asarray(jax.grad(fr)(x)), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_escape_set_is_symmetric():
+    _, sd, _ = _kd_escape_graph()
+    esc = sd.escape
+    e = esc.num_edges
+    s, r = np.asarray(esc.senders[:e]), np.asarray(esc.receivers[:e])
+    fwd = set(zip(s.tolist(), r.tolist()))
+    assert all((b, a) in fwd for a, b in fwd), "escape set must be symmetric"
+
+
+def test_forced_window_start_rejects_escaping_edges():
+    import pytest
+    from gwen_tpu.graph.graph import ell_tables
+
+    s = np.array([0, 90], np.int64)
+    r = np.array([0, 1], np.int64)
+    w = np.ones(2, np.float32)
+    with pytest.raises(ValueError, match="escape the forced windows"):
+        ell_tables(s, r, w, num_dst=2, num_src=128, block_size=32,
+                   window_size=64, forced_window_start=np.zeros(1, np.int64))
