@@ -864,6 +864,159 @@ def _spmm_sliding_dense_core(graph, x: Array, f_blk: "int | None" = None) -> Arr
     return out[:out_rows, :f]
 
 
+# ------------------------------ diagonal-window superblock kernel (v6)
+
+
+def _diag_kernel(window, buf, t_sb, num_super,
+                 off_ref, xb_ref, s_ref, x_hbm, out_ref, xbuf, sems):
+    """Per grid step: one fresh double-buffered DMA of the superblock's
+    union x-window, then ``t_sb`` MXU matmuls — each sub-block contracts its
+    (block, window) window-relative S tile against a block-aligned dynamic
+    slice of the buffer. Grid steps (and their ~0.5 µs Mosaic overhead) drop
+    ``t_sb``-fold vs the sliding kernel; S carries zero ring-slack columns."""
+    j = pl.program_id(0)
+    block = s_ref.shape[0] // t_sb
+
+    def dma(sb, slot):
+        base = pl.multiple_of(xb_ref[sb], block)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(base, buf), :],
+            xbuf.at[pl.ds(slot * buf, buf), :],
+            sems.at[slot],
+        )
+
+    @pl.when(j == 0)
+    def _():
+        dma(0, 0).start()
+        if num_super > 1:
+            dma(jnp.int32(1), 1).start()
+
+    slot = jax.lax.rem(j, 2)
+    dma(j, slot).wait()
+
+    prec = jax.lax.Precision.HIGHEST if xbuf.dtype == jnp.float32 else None
+    for t in range(t_sb):
+        off = pl.multiple_of(off_ref[j * t_sb + t], block)
+        xw = xbuf[pl.ds(slot * buf + off, window), :]
+        out_ref[t * block:(t + 1) * block, :] = jnp.dot(
+            s_ref[t * block:(t + 1) * block, :].astype(xbuf.dtype), xw,
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(out_ref.dtype)
+
+    @pl.when(j + 2 < num_super)
+    def _():
+        dma(jnp.minimum(j + 2, num_super - 1), slot).start()
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _diag_impl(off, xbase, s_mat, x_pad, block, window, t_sb):
+    n_pad = s_mat.shape[0]
+    f_pad = x_pad.shape[1]
+    num_super = n_pad // (block * t_sb)
+    buf = window + (t_sb - 1) * block
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_super,),
+        in_specs=[
+            pl.BlockSpec((block * t_sb, window), lambda j, o, xb: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((block * t_sb, f_pad), lambda j, o, xb: (j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * buf, f_pad), x_pad.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_diag_kernel, window, buf, t_sb, num_super)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, f_pad), x_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * window * f_pad,
+            bytes_accessed=s_mat.size * s_mat.dtype.itemsize
+            + 2 * x_pad.size * x_pad.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(off, xbase, s_mat, x_pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _diag_diff(off, xbase, s_mat, xp, block, window, t_sb):
+    return _diag_impl(off, xbase, s_mat, xp, block, window, t_sb)
+
+
+def _diag_fwd(off, xbase, s_mat, xp, block, window, t_sb):
+    return _diag_impl(off, xbase, s_mat, xp, block, window, t_sb), (off, xbase, s_mat)
+
+
+def _diag_bwd(block, window, t_sb, res, g):
+    # In-window S is symmetric (escapes are symmetrized at build), so the
+    # backward is the forward on the cotangent.
+    off, xbase, s_mat = res
+    gx = _diag_impl(off, xbase, s_mat, g, block, window, t_sb)
+    return (None, None, None, gx.astype(g.dtype))
+
+
+_diag_diff.defvjp(_diag_fwd, _diag_bwd)
+
+
+def spmm_diag_window(graph, x: Array, f_blk: "int | None" = None) -> Array:
+    """Diagonal-window superblock aggregation (v6; see
+    ``gwen_tpu.graph.graph.DiagWindowGraph``). Escape-window graphs add the
+    out-of-window edges back via the gather-only :class:`EscapeFixup`."""
+    return _sliding_escape_add(
+        graph, x, _spmm_diag_window_core(graph, x, f_blk)
+    )
+
+
+def _spmm_diag_window_core(graph, x: Array, f_blk: "int | None" = None) -> Array:
+    from gwen_tpu.graph.graph import DiagWindowGraph
+
+    assert isinstance(graph, DiagWindowGraph)
+    leading = x.shape[:-2]
+    n, f = x.shape[-2], x.shape[-1]
+    n_pad = graph.num_padded_nodes
+    src_alloc = graph.num_src_rows
+    if n not in (graph.num_nodes, n_pad, src_alloc):
+        raise ValueError(
+            f"x has {n} node rows; graph expects {graph.num_nodes} "
+            f"({n_pad} padded dst, {src_alloc} src)"
+        )
+    f_pad = _round_up(f, 128)
+    itemsize = jnp.dtype(x.dtype).itemsize
+
+    if leading:
+        xb = x.reshape((-1,) + x.shape[-2:])
+        out = jnp.stack([_spmm_diag_window_core(graph, xb[b])
+                         for b in range(xb.shape[0])])
+        return out.reshape(leading + out.shape[-2:])
+
+    # Column chunk: both double buffers must fit the VMEM budget.
+    w_budget = _SLIDING_RING_VMEM_BYTES // (2 * graph.buf_rows * itemsize)
+    w_chunk = max((w_budget // 128) * 128, 128)
+    if f_blk is not None:
+        w_chunk = min(w_chunk, max(_round_up(f_blk, 128), 128))
+    w_chunk = min(w_chunk, f_pad)
+
+    xp = jnp.zeros((src_alloc, f_pad), x.dtype)
+    xp = xp.at[: min(n, src_alloc), :f].set(x[: min(n, src_alloc)])
+
+    outs = []
+    for c0 in range(0, f_pad, w_chunk):
+        w = min(w_chunk, f_pad - c0)
+        outs.append(_diag_diff(
+            graph.offsets, graph.xbase, graph.s_mat, xp[:, c0:c0 + w],
+            graph.block_size, graph.window_size, graph.superblock,
+        ))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return out[: graph.num_nodes, :f]
+
+
 # --------------------------------- bit-packed rank-1 sliding kernel (v5)
 
 
