@@ -762,6 +762,7 @@ def to_diag_window(
     escape = None
     n_esc = int(esc_mask.sum())
     if n_esc:
+        _check_weight_symmetry(s_np, r_np, w_np, n)
         escape = _build_escape_fixup(
             s_np[esc_mask], r_np[esc_mask], w_np[esc_mask], n,
             escape_pad_multiple,
@@ -919,6 +920,38 @@ def _symmetric_escape_mask(
     return esc_any[inv]
 
 
+def _check_weight_symmetry(
+    s: np.ndarray, r: np.ndarray, w: np.ndarray, num_nodes: int
+) -> None:
+    """Verify ``w[a→b] == w[b→a]`` for every off-diagonal edge (and that the
+    reverse edge exists) — the correctness precondition of the sliding/diag
+    kernels' backward-reuses-forward custom VJP and the escape fixup's
+    ``Eᵀ = E`` shortcut. Holds for GCN ``D^-1/2 A D^-1/2`` weights; fails
+    loudly for e.g. row-normalized ``D^-1 A``. O(E log E) host-side."""
+    off = s != r
+    ss, rr, ww = s[off].astype(np.int64), r[off].astype(np.int64), w[off]
+    key = np.minimum(ss, rr) * np.int64(num_nodes) + np.maximum(ss, rr)
+    order = np.lexsort((ss, key))
+    key_o, w_o = key[order], ww[order]
+    if key_o.size % 2 or not np.array_equal(key_o[0::2], key_o[1::2]):
+        raise ValueError(
+            "graph structure is not symmetric: some edge lacks its reverse; "
+            "the sliding/diag-window kernels' VJP (backward = forward) "
+            "requires a symmetric adjacency"
+        )
+    a, b = w_o[0::2], w_o[1::2]
+    scale = np.maximum(np.abs(a), np.abs(b))
+    if not np.all(np.abs(a - b) <= 1e-5 * np.maximum(scale, 1e-30)):
+        bad = int(np.argmax(np.abs(a - b) - 1e-5 * np.maximum(scale, 1e-30)))
+        raise ValueError(
+            "edge weights are not symmetric (w[a->b] != w[b->a], e.g. "
+            f"pair {bad}: {a[bad]!r} vs {b[bad]!r}); the sliding/diag-window "
+            "kernels' VJP and the escape fixup assume w[a->b] == w[b->a] "
+            "(GCN sym-normalization). Use the segment/ELL backends for "
+            "asymmetric weights."
+        )
+
+
 def _build_escape_fixup(
     es: np.ndarray,
     er: np.ndarray,
@@ -981,12 +1014,19 @@ def to_sliding_dense(
     ``window_size`` (optional) narrows the streamed window below the graph's
     full band: per destination block the densest block-aligned window is
     chosen, and edges that do not fit (symmetrized — see
-    :func:`_symmetric_escape_mask`) go to ``.escape``, a padded COO graph the
-    aggregation adds back via ``segment_sum``. With a locality ordering such
-    as :func:`gwen_tpu.graph.reorder.kd_patch_order`, a ~4-8x narrower window
+    :func:`_symmetric_escape_mask`) go to ``.escape``, an :class:`EscapeFixup`
+    the aggregation adds back scatter-free (unique-receiver ELL gather +
+    inverse-permutation placement). With a locality ordering such as
+    :func:`gwen_tpu.graph.reorder.kd_patch_order`, a ~4-8x narrower window
     covers ~98 % of edges — S bytes and matmul flops (both ∝ window) shrink
     by the same factor, which is the L8+ unlock where the dense-S matmul is
     the wall (flops ∝ N·window).
+
+    The sliding kernels' custom VJP reuses the forward on the cotangent,
+    which requires the *weights* (not just the structure) to be symmetric:
+    ``w[a→b] == w[b→a]`` (true for GCN ``D^-1/2 A D^-1/2`` normalization,
+    NOT for row-normalized ``D^-1 A``). When escapes are split off this is
+    verified at build time (cheap host-side check); asymmetric weights raise.
     """
     e = graph.num_edges
     n = graph.num_nodes
@@ -1009,6 +1049,7 @@ def to_sliding_dense(
         esc_mask = _symmetric_escape_mask(s_np, r_np, out_of_win, n)
         n_esc = int(esc_mask.sum())
         if n_esc:
+            _check_weight_symmetry(s_np, r_np, w_np, n)
             escape = _build_escape_fixup(
                 s_np[esc_mask], r_np[esc_mask], w_np[esc_mask], n,
                 escape_pad_multiple,

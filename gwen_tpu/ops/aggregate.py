@@ -32,6 +32,7 @@ from gwen_tpu.graph.graph import (
     BlockEllGraph,
     BlockTileGraph,
     DenseGraph,
+    DiagWindowGraph,
     Graph,
     MultiLevelGraph,
     SlidingDenseGraph,
@@ -154,6 +155,32 @@ def aggregate_sliding_dense_reference(graph: SlidingDenseGraph, x: Array) -> Arr
     return _sliding_escape_add(graph, x, out)
 
 
+def aggregate_diag_window_reference(graph: DiagWindowGraph, x: Array) -> Array:
+    """jnp reference for the diagonal-window superblock layout (validates the
+    v6 kernel). Window starts are reconstructed as ``xbase[b // T] +
+    offsets[b]``; the escape fixup rides the same composite as the Pallas
+    path."""
+    n, f = x.shape[-2], x.shape[-1]
+    leading = x.shape[:-2]
+    src_alloc = graph.num_src_rows
+    rows = min(n, src_alloc)
+    xp = jnp.zeros(leading + (src_alloc, f), x.dtype)
+    xp = xp.at[..., :rows, :].set(x[..., :rows, :])
+    bs = graph.block_size
+    w = graph.window_size
+    s_blocks = graph.s_mat.reshape(graph.num_blocks, bs, w)
+    outs = []
+    for b in range(graph.num_blocks):
+        start = graph.xbase[b // graph.superblock] + graph.offsets[b]
+        win = jax.lax.dynamic_slice_in_dim(xp, start, w, axis=-2)
+        outs.append(jnp.einsum("bw,...wf->...bf", s_blocks[b].astype(x.dtype), win))
+    out = jnp.concatenate(outs, axis=-2)
+    out = out[..., : graph.num_nodes, :]
+    from gwen_tpu.ops.spmm_pallas import _sliding_escape_add
+
+    return _sliding_escape_add(graph, x, out)
+
+
 def aggregate_sliding_packed_reference(graph: SlidingPackedGraph, x: Array) -> Array:
     """jnp reference for the bit-packed layout (validates the v5 kernel)."""
     from gwen_tpu.graph.graph import _packed_row_bit
@@ -200,6 +227,12 @@ def aggregate(graph, x: Array, backend: str = "auto") -> Array:
 
             return spmm_windowed_dense(graph, x)
         return aggregate_windowed_dense_reference(graph, x)
+    if isinstance(graph, DiagWindowGraph):
+        if backend in ("auto", "pallas"):
+            from gwen_tpu.ops.spmm_pallas import spmm_diag_window
+
+            return spmm_diag_window(graph, x)
+        return aggregate_diag_window_reference(graph, x)
     if isinstance(graph, SlidingPackedGraph):
         if backend in ("auto", "pallas"):
             from gwen_tpu.ops.spmm_pallas import spmm_sliding_packed

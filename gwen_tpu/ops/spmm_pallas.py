@@ -786,7 +786,9 @@ def spmm_sliding_dense(graph, x: Array, f_blk: "int | None" = None) -> Array:
 
     Escape-window graphs (``graph.escape`` set by
     ``to_sliding_dense(window_size=...)``) add the out-of-window edges back
-    via a ``segment_sum`` fixup over the escape COO list.
+    via the gather-only :class:`gwen_tpu.graph.graph.EscapeFixup` path
+    (unique-receiver ELL + inverse-permutation placement — no segment_sum
+    scatter anywhere, which measured ~8 ms for 79k escapes at L8).
     """
     return _sliding_escape_add(
         graph, x, _spmm_sliding_dense_core(graph, x, f_blk)

@@ -483,3 +483,110 @@ def test_forced_window_start_rejects_escaping_edges():
     with pytest.raises(ValueError, match="escape the forced windows"):
         ell_tables(s, r, w, num_dst=2, num_src=128, block_size=32,
                    window_size=64, forced_window_start=np.zeros(1, np.int64))
+
+
+# -------------------------------- diagonal-window superblock layout (the
+# v6 kernel: implicit-diagonal windows, window-relative S, superblocked DMA)
+
+
+def _kd_diag_graph(levels=3, leaf_size=128, window_size=256, block=32,
+                   superblock=4):
+    from gwen_tpu.graph import build_graph, kd_patch_order, to_diag_window
+    from gwen_tpu.graph.build import icosphere_edges
+
+    verts, s, r = icosphere_edges(levels)
+    n = verts.shape[0]
+    perm = kd_patch_order(verts, s, r, n, leaf_size=leaf_size)
+    s, r, _ = apply_order(perm, s, r)
+    g = build_graph(s, r, n)
+    dw = to_diag_window(g, window_size=window_size, block_size=block,
+                        superblock=superblock)
+    return g, dw, n
+
+
+def test_diag_window_matches_segment():
+    from gwen_tpu.ops.spmm_pallas import spmm_diag_window
+
+    g, dw, n = _kd_diag_graph()
+    # The narrowed window must produce escapes so the fixup path runs.
+    assert dw.escape is not None and dw.escape.num_edges > 0
+    s01 = np.asarray(dw.s_mat) != 0
+    assert s01.sum() + dw.escape.num_edges == g.num_edges
+    x = jnp.asarray(np.random.default_rng(31).normal(size=(n, 24)).astype(np.float32))
+    got = spmm_diag_window(dw, x)
+    want = aggregate_segment(g, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+    # The jnp reference takes the same composite path.
+    from gwen_tpu.ops.aggregate import aggregate_diag_window_reference
+
+    ref = aggregate_diag_window_reference(dw, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_diag_window_grad_and_batched():
+    from gwen_tpu.ops.spmm_pallas import spmm_diag_window
+
+    g, dw, n = _kd_diag_graph()
+    xb = jnp.asarray(np.random.default_rng(32).normal(size=(2, n, 8)).astype(np.float32))
+    got = spmm_diag_window(dw, xb)
+    want = jax.vmap(lambda x: aggregate_segment(g, x))(xb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    x = xb[0]
+    f = lambda xx: jnp.sum(jnp.sin(spmm_diag_window(dw, xx)))
+    fr = lambda xx: jnp.sum(jnp.sin(aggregate_segment(g, xx)))
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(x)), np.asarray(jax.grad(fr)(x)), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_diag_window_aggregate_dispatch():
+    from gwen_tpu.ops.aggregate import aggregate
+
+    g, dw, n = _kd_diag_graph()
+    x = jnp.asarray(np.random.default_rng(33).normal(size=(n, 16)).astype(np.float32))
+    got = aggregate(dw, x)
+    ref = aggregate(dw, x, backend="reference")
+    want = aggregate_segment(g, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_diag_window_superblock_shrinks_on_tiny_graph():
+    from gwen_tpu.graph import build_graph, to_diag_window
+    from gwen_tpu.graph.build import icosphere_edges
+    from gwen_tpu.ops.spmm_pallas import spmm_diag_window
+
+    verts, s, r = icosphere_edges(1)
+    n = verts.shape[0]  # 42 nodes — buf would exceed src rows at superblock=8
+    perm = rcm_order(s, r, n)
+    s, r, _ = apply_order(perm, s, r)
+    g = build_graph(s, r, n)
+    dw = to_diag_window(g, window_size=128, block_size=32, superblock=8)
+    x = jnp.asarray(np.random.default_rng(34).normal(size=(n, 8)).astype(np.float32))
+    got = spmm_diag_window(dw, x)
+    want = aggregate_segment(g, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_escape_build_rejects_asymmetric_weights():
+    import pytest
+
+    from gwen_tpu.graph import kd_patch_order, to_diag_window, to_sliding_dense
+    from gwen_tpu.graph.build import icosphere_edges
+    from gwen_tpu.graph.graph import Graph
+
+    verts, s, r = icosphere_edges(3)
+    n = verts.shape[0]
+    perm = kd_patch_order(verts, s, r, n, leaf_size=128)
+    s, r, _ = apply_order(perm, s, r)
+    # Row-normalized D^-1 A weights: symmetric structure, asymmetric weights.
+    deg = np.bincount(r, minlength=n).astype(np.float32)
+    w = (1.0 / deg[r]).astype(np.float32)
+    e = s.shape[0]
+    g = Graph(senders=s.astype(np.int32), receivers=r.astype(np.int32),
+              weights=w, num_nodes=n, num_edges=e)
+    with pytest.raises(ValueError, match="not symmetric"):
+        to_sliding_dense(g, block_size=32, window_size=256)
+    with pytest.raises(ValueError, match="not symmetric"):
+        to_diag_window(g, window_size=256, block_size=32)

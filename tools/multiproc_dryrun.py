@@ -134,41 +134,67 @@ def main() -> int:
         )
         return 0
 
-    port = _free_port()
-    procs = []
-    for pid in range(NPROC):
-        env = dict(os.environ)
-        env.update(
-            GWEN_MP_ROLE="child",
-            GWEN_MP_PID=str(pid),
-            GWEN_MP_NPROC=str(NPROC),
-            GWEN_MP_PORT=str(port),
-            # Belt and braces: also steer platform selection at interpreter
-            # start for the fresh child processes.
-            JAX_PLATFORMS="cpu",
-        )
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
-                text=True,
+    # _free_port closes its probe socket before the coordinator child binds
+    # the port — a TOCTOU window where another process can grab it. Retry
+    # the whole spawn with a fresh port when the failure looks like a
+    # bind/rendezvous race (not a genuine test failure).
+    _RACE_MARKERS = (
+        "Address already in use",
+        "address already in use",
+        "Failed to connect",
+        "UNAVAILABLE",
+        "DEADLINE_EXCEEDED",
+        "Connection refused",
+        "bind",
+    )
+    for attempt in range(3):
+        port = _free_port()
+        procs = []
+        for pid in range(NPROC):
+            env = dict(os.environ)
+            env.update(
+                GWEN_MP_ROLE="child",
+                GWEN_MP_PID=str(pid),
+                GWEN_MP_NPROC=str(NPROC),
+                GWEN_MP_PORT=str(port),
+                # Belt and braces: also steer platform selection at
+                # interpreter start for the fresh child processes.
+                JAX_PLATFORMS="cpu",
             )
-        )
-    ok = True
-    logs = []
-    for pid, p in enumerate(procs):
-        try:
-            out, _ = p.communicate(timeout=300)
-        except subprocess.TimeoutExpired:
-            p.kill()
-            out, _ = p.communicate()
-            ok = False
-        logs.append(out)
-        if p.returncode != 0:
-            ok = False
-            sys.stderr.write(f"--- child {pid} (rc={p.returncode}) ---\n{out}\n")
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                    text=True,
+                )
+            )
+        ok = True
+        logs = []
+        for pid, p in enumerate(procs):
+            try:
+                out, _ = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+                ok = False
+            logs.append(out)
+            if p.returncode != 0:
+                ok = False
+        if ok:
+            break
+        race = any(m in log for log in logs for m in _RACE_MARKERS)
+        if race and attempt < 2:
+            sys.stderr.write(
+                f"--- attempt {attempt} hit a port/rendezvous race on port "
+                f"{port}; retrying with a fresh port ---\n"
+            )
+            continue
+        for pid, (p, out) in enumerate(zip(procs, logs)):
+            if p.returncode != 0:
+                sys.stderr.write(f"--- child {pid} (rc={p.returncode}) ---\n{out}\n")
+        break
     print(
         json.dumps(
             {
