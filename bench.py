@@ -23,24 +23,31 @@ import time
 import numpy as np
 
 
-def _build(levels: int):
-    """Build (and cache) the RCM-ordered mesh graph tables."""
+def _build(levels: int, ordering: str = "rcm"):
+    """Build (and cache) the mesh graph tables under the given ordering
+    (``rcm`` full-band, or ``kd`` patches for the diag-window layout)."""
     from gwen_tpu.graph import (
         apply_order,
         build_graph,
         icosphere_edges,
+        kd_patch_order,
         rcm_order,
         to_block_ell,
     )
 
-    cache = f"/tmp/gwen_bench_mesh_L{levels}.npz"
+    cache = (
+        f"/tmp/gwen_bench_mesh_L{levels}.npz"
+        if ordering == "rcm"
+        else f"/tmp/gwen_bench_mesh_{ordering}_L{levels}.npz"
+    )
     if os.path.exists(cache):
         z = np.load(cache)
         s, r, n = z["s"], z["r"], int(z["n"])
     else:
         verts, s, r = icosphere_edges(levels)
         n = verts.shape[0]
-        perm = rcm_order(s, r, n)
+        perm = (kd_patch_order(verts, s, r, n) if ordering == "kd"
+                else rcm_order(s, r, n))
         s, r, _ = apply_order(perm, s, r)
         np.savez(cache, s=s, r=r, n=n)
     g = build_graph(s, r, n)
@@ -76,19 +83,20 @@ def main() -> None:
     levels = int(os.environ.get("GWEN_BENCH_LEVELS", "7"))
     feats = int(os.environ.get("GWEN_BENCH_FEATURES", "256"))
     iters = int(os.environ.get("GWEN_BENCH_ITERS", "50"))
-    kernel = os.environ.get("GWEN_BENCH_KERNEL", "sliding")
+    kernel = os.environ.get("GWEN_BENCH_KERNEL", "diag")
     dtype = jnp.bfloat16 if os.environ.get("GWEN_BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
-    g_coo, g_bell, n = _build(levels)
+    g_coo, g_bell, n = _build(levels, "kd" if kernel == "diag" else "rcm")
     edges = g_coo.num_edges  # includes self loops
     # Generate on device — host->device transfers are slow in this env.
     x32 = jax.random.normal(jax.random.key(0), (n, feats), jnp.float32)
     x = x32.astype(dtype)
 
-    from gwen_tpu.graph import to_sliding_dense, to_windowed_dense
+    from gwen_tpu.graph import to_diag_window, to_sliding_dense, to_windowed_dense
     from gwen_tpu.ops import aggregate_segment
     from gwen_tpu.ops.spmm_pallas import (
         spmm_block_ell,
+        spmm_diag_window,
         spmm_sliding_dense,
         spmm_windowed_dense,
     )
@@ -96,7 +104,13 @@ def main() -> None:
     # Graph tables are jit *arguments* (never closed-over constants). S is
     # expanded on device from the compact ELL tables (device_build) — only
     # O(edges) bytes cross the host->device link at any scale.
-    if kernel == "sliding":
+    if kernel == "diag":
+        dg = to_diag_window(
+            g_coo, window_size=int(os.environ.get("GWEN_BENCH_WINDOW", "384")),
+            dtype=dtype, device_build=True,
+        )
+        pg, pallas_agg = jax.device_put(dg), spmm_diag_window
+    elif kernel == "sliding":
         sg = to_sliding_dense(g_coo, dtype=dtype, device_build=True)
         pg, pallas_agg = jax.device_put(sg), spmm_sliding_dense
     elif kernel == "sdense":

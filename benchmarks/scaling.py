@@ -39,41 +39,55 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
     from gwen_tpu.nn import EncodeProcessDecode
     from gwen_tpu.train import TrainState
 
-    cache = f"/tmp/gwen_bench_mesh_L{levels}.npz"
+    kernel = os.environ.get("GWEN_SCALING_KERNEL", "")
+    if not kernel:
+        # Diagonal-window (v6) over the KD-patch ordering: narrow streamed
+        # windows (S bytes and matmul flops ∝ window, 4-7.7x below the RCM
+        # full band) with the ~2% out-of-window edges placed in-kernel.
+        # Measured fastest at every level: L7 agg 1.17 ms vs 1.71 sliding,
+        # L8 5.96 vs 9.4, and it is the only streamed layout whose S fits
+        # HBM at L9 un-packed.
+        kernel = "diag"
+
+    ordering = "kd" if kernel == "diag" else "rcm"
+    cache = (
+        f"/tmp/gwen_bench_mesh_L{levels}.npz"
+        if ordering == "rcm"
+        else f"/tmp/gwen_bench_mesh_{ordering}_L{levels}.npz"
+    )
     if os.path.exists(cache):
         z = np.load(cache)
         s, r, n = z["s"], z["r"], int(z["n"])
     else:
+        from gwen_tpu.graph import kd_patch_order
+
         verts, s, r = icosphere_edges(levels)
         n = verts.shape[0]
-        perm = rcm_order(s, r, n)
+        perm = (kd_patch_order(verts, s, r, n) if ordering == "kd"
+                else rcm_order(s, r, n))
         s, r, _ = apply_order(perm, s, r)
         np.savez(cache, s=s, r=r, n=n)
     g = build_graph(s, r, n)
     edges = g.num_edges
 
-    # Kernel selection: streamed-S while S fits in HBM. S is expanded *on
-    # device* from the compact O(edges) ELL tables (device_build=True), so
-    # placement cost is O(edges) regardless of S size — the memory budget
-    # (S + x + grads + opt state within ~16 GB HBM) is the only limit.
-    be = to_block_ell(g)
-    s_mat_bytes = be.num_padded_nodes * be.window_size * 2
-    kernel = os.environ.get("GWEN_SCALING_KERNEL", "")
-    if not kernel:
-        # Sliding-ring reads x once instead of once per window overlap and
-        # shares one S stream across folded batch members — measured fastest
-        # at every level whose S fits HBM (L7 EPD step: 23 ms vs 42 sdense).
-        # Beyond that, the bit-packed rank-1 kernel (1/16 the S bytes) keeps
-        # the MXU path alive: L9 agg 59.7 ms vs 229 ms ELL.
-        kernel = "sliding" if s_mat_bytes < int(7 * 2**30) else "packed"
-    if kernel == "sdense":
+    # S is expanded *on device* from the compact O(edges) ELL tables
+    # (device_build=True), so placement cost is O(edges) regardless of S
+    # size — the memory budget (S + x + grads + opt state within ~16 GB
+    # HBM) is the only limit.
+    if kernel == "diag":
+        from gwen_tpu.graph import to_diag_window
+
+        window = int(os.environ.get("GWEN_SCALING_WINDOW", "384"))
+        graph = to_diag_window(g, window_size=window, dtype=jnp.bfloat16,
+                               device_build=True)
+    elif kernel == "sdense":
         graph = to_windowed_dense(g, dtype=jnp.bfloat16, device_build=True)
     elif kernel == "sliding":
         graph = to_sliding_dense(g, dtype=jnp.bfloat16, device_build=True)
     elif kernel == "packed":
         graph = to_sliding_packed(g, device_build=True)
     else:
-        graph = be
+        graph = to_block_ell(g)
     graph = jax.device_put(graph)  # numpy leaves place once; S already on device
 
     model = EncodeProcessDecode(

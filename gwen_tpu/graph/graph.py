@@ -623,10 +623,16 @@ class EscapeFixup:
     * ``nbr``/``w``: ELL lists over the *unique* escape receivers — gather
       ``x[nbr]`` and contract with ``w`` (``deg`` is the max escapes per
       receiver, ~node degree).
+    * ``rows``: ELL row → its unique destination row (0 on padding rows,
+      whose weights are all-zero), so placing the fixup into the full
+      output is ``out.at[rows].add(fix)`` — a *sorted unique-index*
+      scatter-add of ~U rows, measured 3x faster than the previous
+      inverse-permutation full-N gather (0.27 ms vs 0.78 ms at L7; XLA's
+      row gather pays per-row overhead on all N output rows, the sorted
+      unique scatter touches only the U escape rows).
     * ``inv_map``: destination row → its slot among the unique receivers
-      (rows with no escapes point at a trailing all-zero slot), so placing
-      the fixup into the full output is ``fix[inv_map]`` — an inverse-
-      permutation *gather*, not a scatter (receivers are unique rows).
+      (rows with no escapes point at a trailing all-zero slot) — the
+      older gather formulation ``fix[inv_map]``, kept for reference.
 
     The escape edge set is symmetric (build-time symmetrization), so the
     fixup operator E satisfies Eᵀ = E and its backward is itself — the fast
@@ -644,6 +650,7 @@ class EscapeFixup:
     inv_map: Array  # (N,) int32 — dst row → row of nbr/w (zero row if none)
     num_edges: int = struct.field(pytree_node=False)
     num_nodes: int = struct.field(pytree_node=False)
+    rows: Optional[Array] = None  # (U_pad,) int32 — ELL row → dst row; 0 on pad
 
 
 @struct.dataclass
@@ -667,7 +674,14 @@ class DiagWindowGraph:
       each sub-block runs its matmul against a dynamic (block-aligned) slice
       of the buffer. Grid steps drop ``superblock``-fold.
 
-    Out-of-window edges go to the shared :class:`EscapeFixup` path.
+    Out-of-window edges go to the shared :class:`EscapeFixup` gather, and
+    their *placement* rides inside the kernel: unique escape receivers are
+    sorted, so each destination block's escapes form a contiguous range of
+    the (U, F) fix array — the kernel DMAs that slice and places it with a
+    one-hot MXU matmul (``esc_start``/``esc_lrow`` tables below). An XLA
+    scatter placement measured 2.7 ms for 39k rows at L8 (~70 ns/row); the
+    in-kernel route streams the same rows contiguously and overlaps them
+    with the S stream.
     """
 
     s_mat: Array  # (N_pad, W) — scatter rows, window-relative columns
@@ -680,6 +694,12 @@ class DiagWindowGraph:
     superblock: int = struct.field(pytree_node=False)
     num_src_rows: int = struct.field(pytree_node=False)
     escape: Optional[EscapeFixup] = None
+    # In-kernel escape placement tables (None iff escape is None):
+    esc_start: Optional[Array] = None  # (num_blocks,) int32 — 8-aligned slice
+    #   start into the fix array; [lo_i, hi_i) ⊆ [esc_start_i, +esc_cnt_pad)
+    esc_lrow: Optional[Array] = None  # (num_blocks, esc_cnt_pad) int32 —
+    #   block-local dst row of fix[esc_start_i + j], or block_size (no-op)
+    esc_cnt_pad: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_padded_nodes(self) -> int:
@@ -760,13 +780,41 @@ def to_diag_window(
     out_of_win = (s_np < ws[blk]) | (s_np >= ws[blk] + W)
     esc_mask = _symmetric_escape_mask(s_np, r_np, out_of_win, n)
     escape = None
+    esc_start = esc_lrow = None
+    esc_cnt_pad = 0
     n_esc = int(esc_mask.sum())
     if n_esc:
         _check_weight_symmetry(s_np, r_np, w_np, n)
         escape = _build_escape_fixup(
             s_np[esc_mask], r_np[esc_mask], w_np[esc_mask], n,
             escape_pad_multiple,
+            extra_rows=block + 16,  # in-kernel DMA slice stays in bounds
         )
+        # In-kernel placement tables: unique receivers are sorted, so each
+        # destination block's escapes are a contiguous fix-array range.
+        uniq = np.unique(r_np[esc_mask])
+        u_pad = escape.nbr.shape[0]
+        lo = np.searchsorted(uniq, np.arange(num_blocks, dtype=np.int64) * block)
+        hi = np.searchsorted(
+            uniq, (np.arange(num_blocks, dtype=np.int64) + 1) * block
+        )
+        cnt_max = int((hi - lo).max())
+        esc_cnt_pad = _round_up(cnt_max + 7, 8)
+        esc_start = np.minimum((lo // 8) * 8, max(u_pad - esc_cnt_pad, 0))
+        if not (hi - esc_start <= esc_cnt_pad).all():
+            raise AssertionError("escape placement slice does not cover block")
+        e_idx = esc_start[:, None] + np.arange(esc_cnt_pad, dtype=np.int64)
+        valid = (e_idx >= lo[:, None]) & (e_idx < hi[:, None])
+        uniq_ext = np.concatenate(
+            [uniq, np.zeros(esc_cnt_pad + 8, np.int64)]
+        )
+        esc_lrow = np.where(
+            valid,
+            uniq_ext[np.minimum(e_idx, uniq_ext.size - 1)]
+            - (np.arange(num_blocks, dtype=np.int64) * block)[:, None],
+            block,  # one-hot never matches → no-op slot
+        ).astype(np.int32)
+        esc_start = esc_start.astype(np.int32)
         keep = ~esc_mask
         s_np, r_np, w_np = s_np[keep], r_np[keep], w_np[keep]
 
@@ -800,6 +848,9 @@ def to_diag_window(
         superblock=t_sb,
         num_src_rows=src_alloc,
         escape=escape,
+        esc_start=esc_start,
+        esc_lrow=esc_lrow,
+        esc_cnt_pad=esc_cnt_pad,
     )
 
 
@@ -958,9 +1009,12 @@ def _build_escape_fixup(
     ew: np.ndarray,
     num_nodes: int,
     pad_multiple: int,
+    extra_rows: int = 0,
 ) -> EscapeFixup:
     """Host-side tables for the gather-only escape fixup (see
-    :class:`EscapeFixup`)."""
+    :class:`EscapeFixup`). ``extra_rows`` pads additional all-zero ELL rows
+    so in-kernel placement DMAs of a static ``cnt_pad`` slice stay in
+    bounds."""
     n_esc = es.shape[0]
     eorder = np.argsort(er, kind="stable")
     es, er, ew = es[eorder], er[eorder], ew[eorder]
@@ -971,10 +1025,15 @@ def _build_escape_fixup(
     coo_w = np.zeros(pad, np.float32)
     coo_s[:n_esc], coo_r[:n_esc], coo_w[:n_esc] = es, er, ew
     # ELL over unique receivers + inverse map (trailing all-zero row).
+    # deg is the exact max receiver count (escape degrees are tiny — p99≈4)
+    # and padding slots re-point at the row's own first sender: the gather
+    # is the fixup's real cost (~12 ns per 512 B random row read, measured),
+    # so wasted slots are wasted milliseconds and a repeated row at least
+    # rereads hot data.
     uniq, inv = np.unique(er, return_inverse=True)
     counts = np.bincount(inv)
-    deg = max(_round_up(int(counts.max()), 8), 8)
-    u_pad = _round_up(uniq.size + 1, 8)  # ≥1 trailing zero row
+    deg = max(int(counts.max()), 1)
+    u_pad = _round_up(uniq.size + 1 + extra_rows, 8)  # ≥1 trailing zero row
     nbr = np.zeros((u_pad, deg), np.int32)
     w_ell = np.zeros((u_pad, deg), np.float32)
     starts = np.zeros(uniq.size + 1, np.int64)
@@ -982,8 +1041,21 @@ def _build_escape_fixup(
     slot = np.arange(n_esc) - starts[inv]
     nbr[inv, slot] = es
     w_ell[inv, slot] = ew
+    pad_slot = (
+        np.arange(deg)[None, :] >= counts[:, None]
+    )  # (uniq, deg) padding mask
+    nbr[: uniq.size][pad_slot] = np.broadcast_to(
+        nbr[: uniq.size, :1], (uniq.size, deg)
+    )[pad_slot]
     inv_map = np.full(num_nodes, u_pad - 1, np.int32)  # default: zero row
     inv_map[uniq] = np.arange(uniq.size, dtype=np.int32)
+    # Strictly increasing with unique in-bounds entries: padding entries are
+    # out of bounds (>= num_nodes) and dropped by the scatter (mode="drop"),
+    # so indices_are_sorted/unique_indices stay honest.
+    rows = (
+        np.arange(u_pad, dtype=np.int64) - uniq.size + num_nodes
+    ).astype(np.int32)
+    rows[: uniq.size] = uniq
     return EscapeFixup(
         senders=coo_s,
         receivers=coo_r,
@@ -993,6 +1065,7 @@ def _build_escape_fixup(
         inv_map=inv_map,
         num_edges=int(n_esc),
         num_nodes=num_nodes,
+        rows=rows,
     )
 
 

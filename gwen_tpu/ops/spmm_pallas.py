@@ -727,49 +727,86 @@ def _sliding_bwd_b(block, window, ring_rows, max_delta, res, g):
 _sliding_diff_b.defvjp(_sliding_fwd_b, _sliding_bwd_b)
 
 
-def _escape_fix_impl(nbr, w, inv_map, x: Array) -> Array:
-    """Gather-only escape aggregation: ``x[nbr]`` + ELL contraction over the
-    unique escape receivers, placed into full rows by an inverse-permutation
-    gather (receivers are unique ⇒ no scatter anywhere). Shapes:
-    nbr/w (U_pad, deg), inv_map (N,), x (..., N, F) → (..., N, F)."""
+def _escape_rows_fix(nbr, w, x: Array) -> Array:
+    """Escape contributions per unique receiver: ``x[nbr]`` + ELL
+    contraction. Shapes: nbr/w (U_pad, deg), x (..., N, F) → (..., U_pad, F).
+    Measured ~free at L7 (61 MB of scattered row reads, fully
+    bandwidth-overlapped); the cost of the fixup is in the *placement*."""
     gathered = jnp.take(x, nbr, axis=-2)  # (..., U_pad, deg, F)
-    fix = jnp.einsum("ud,...udf->...uf", w.astype(x.dtype), gathered)
+    return jnp.einsum("ud,...udf->...uf", w.astype(x.dtype), gathered)
+
+
+def _escape_place(rows, fix, out: Array) -> Array:
+    """Place per-unique-receiver contributions into the full output:
+    ``out.at[rows].add(fix)`` — ``rows`` is strictly increasing with unique
+    in-bounds entries (padding entries are out-of-bounds and dropped), so
+    the scatter carries ``indices_are_sorted=unique_indices=True``. Measured
+    0.27 ms vs 0.78 ms for the inverse-permutation full-N gather at L7."""
+    fix = fix.astype(out.dtype)
+    if out.ndim == 2:
+        return out.at[rows].add(
+            fix, indices_are_sorted=True, unique_indices=True, mode="drop"
+        )
+    return out.at[:, rows].add(
+        fix, indices_are_sorted=True, unique_indices=True, mode="drop"
+    )
+
+
+def _escape_fix_impl(nbr, w, inv_map, x: Array) -> Array:
+    """Older gather-only placement (``fix[inv_map]``), kept as the reference
+    formulation for tests. Shapes: nbr/w (U_pad, deg), inv_map (N,),
+    x (..., N, F) → (..., N, F)."""
+    fix = _escape_rows_fix(nbr, w, x)
     return jnp.take(fix, inv_map, axis=-2)  # (..., N, F)
 
 
 @jax.custom_vjp
-def _escape_fix_diff(nbr, w, inv_map, x):
-    return _escape_fix_impl(nbr, w, inv_map, x)
+def _escape_add_diff(nbr, w, rows, x, out):
+    """``out + E @ x`` where E is the symmetric escape operator; the scatter
+    placement rides inside this custom-VJP boundary so autodiff never sees
+    (and never transposes) the gathers/scatters individually."""
+    return _escape_place(rows, _escape_rows_fix(nbr, w, x), out)
 
 
-def _escape_fix_fwd(nbr, w, inv_map, x):
-    return _escape_fix_impl(nbr, w, inv_map, x), (nbr, w, inv_map)
+def _escape_add_fwd(nbr, w, rows, x, out):
+    return (
+        _escape_add_diff(nbr, w, rows, x, out),
+        (nbr, w, rows, jax.ShapeDtypeStruct(x.shape, x.dtype)),
+    )
 
 
-def _escape_fix_bwd(res, g):
+def _escape_add_bwd(res, g):
     # The escape edge set is symmetrized at build time (Eᵀ = E), so the
-    # backward is the forward on the cotangent — autodiff would otherwise
-    # transpose the gathers into TPU-hostile scatters.
-    nbr, w, inv_map = res
-    return (None, None, None, _escape_fix_impl(nbr, w, inv_map, g))
+    # x-cotangent is the same operator applied to g; the out-cotangent is g.
+    # g may have more (padded) rows than x — gathers only touch rows < N
+    # and the scatter rows are < N, so both shapes work directly.
+    nbr, w, rows, x_sds = res
+    gx = _escape_place(
+        rows,
+        _escape_rows_fix(nbr, w, g),
+        jnp.zeros(x_sds.shape, x_sds.dtype),
+    )
+    return (None, None, None, gx, g)
 
 
-_escape_fix_diff.defvjp(_escape_fix_fwd, _escape_fix_bwd)
+_escape_add_diff.defvjp(_escape_add_fwd, _escape_add_bwd)
 
 
 def _sliding_escape_add(graph, x: Array, out: Array) -> Array:
     """Add the escape-window fixup (``SlidingDenseGraph.escape``): the few
-    out-of-window edges, aggregated scatter-free (see
-    ``gwen_tpu.graph.graph.EscapeFixup``) on top of the kernel output."""
+    out-of-window edges, aggregated via gathers + one sorted unique-index
+    scatter-add (see ``gwen_tpu.graph.graph.EscapeFixup``) on top of the
+    kernel output."""
     esc = getattr(graph, "escape", None)
     if esc is None:
         return out
-    n = graph.num_nodes
-    eout = _escape_fix_diff(esc.nbr, esc.w, esc.inv_map, x[..., :n, :])
-    if out.shape[-2] != n:
-        pad = [(0, 0)] * (out.ndim - 2) + [(0, out.shape[-2] - n), (0, 0)]
-        eout = jnp.pad(eout, pad)
-    return out + eout.astype(out.dtype)
+    leading = out.shape[:-2]
+    if len(leading) > 1:  # _escape_place handles 2-D and 3-D natively
+        xf = x.reshape((-1,) + x.shape[-2:])
+        of = out.reshape((-1,) + out.shape[-2:])
+        res = _escape_add_diff(esc.nbr, esc.w, esc.rows, xf, of)
+        return res.reshape(out.shape)
+    return _escape_add_diff(esc.nbr, esc.w, esc.rows, x, out)
 
 
 def spmm_sliding_dense(graph, x: Array, f_blk: "int | None" = None) -> Array:
@@ -869,13 +906,26 @@ def _spmm_sliding_dense_core(graph, x: Array, f_blk: "int | None" = None) -> Arr
 # ------------------------------ diagonal-window superblock kernel (v6)
 
 
-def _diag_kernel(window, buf, t_sb, num_super,
-                 off_ref, xb_ref, s_ref, x_hbm, out_ref, xbuf, sems):
+def _diag_kernel(window, buf, t_sb, num_super, cnt_pad, *refs):
     """Per grid step: one fresh double-buffered DMA of the superblock's
     union x-window, then ``t_sb`` MXU matmuls — each sub-block contracts its
     (block, window) window-relative S tile against a block-aligned dynamic
     slice of the buffer. Grid steps (and their ~0.5 µs Mosaic overhead) drop
-    ``t_sb``-fold vs the sliding kernel; S carries zero ring-slack columns."""
+    ``t_sb``-fold vs the sliding kernel; S carries zero ring-slack columns.
+
+    With ``cnt_pad > 0`` the escape contributions arrive as a (U, F) fix
+    array in HBM whose rows are sorted by destination: each sub-block DMAs
+    its contiguous ``cnt_pad``-row slice (``es_ref`` start, double-buffered
+    alongside x) and places it with a one-hot MXU matmul built from the
+    prefetched block-local row table. An XLA scatter placement measured
+    ~70 ns/row (2.7 ms at L8); this streams the same rows contiguously,
+    overlapped with the S stream."""
+    has_esc = cnt_pad > 0
+    if has_esc:
+        (off_ref, xb_ref, es_ref, s_ref, lrow_ref, fix_hbm, x_hbm,
+         out_ref, xbuf, fbuf, sems, fsems) = refs
+    else:
+        off_ref, xb_ref, s_ref, x_hbm, out_ref, xbuf, sems = refs
     j = pl.program_id(0)
     block = s_ref.shape[0] // t_sb
 
@@ -887,93 +937,172 @@ def _diag_kernel(window, buf, t_sb, num_super,
             sems.at[slot],
         )
 
+    def fdma(sb, slot, t):
+        return pltpu.make_async_copy(
+            fix_hbm.at[pl.ds(pl.multiple_of(es_ref[sb * t_sb + t], 8),
+                             cnt_pad), :],
+            fbuf.at[pl.ds((slot * t_sb + t) * cnt_pad, cnt_pad), :],
+            fsems.at[slot, t],
+        )
+
+    def start_all(sb, slot):
+        dma(sb, slot).start()
+        if has_esc:
+            for t in range(t_sb):
+                fdma(sb, slot, t).start()
+
     @pl.when(j == 0)
     def _():
-        dma(0, 0).start()
+        start_all(0, 0)
         if num_super > 1:
-            dma(jnp.int32(1), 1).start()
+            start_all(jnp.int32(1), 1)
 
     slot = jax.lax.rem(j, 2)
     dma(j, slot).wait()
+    if has_esc:
+        for t in range(t_sb):
+            fdma(j, slot, t).wait()
 
     prec = jax.lax.Precision.HIGHEST if xbuf.dtype == jnp.float32 else None
     for t in range(t_sb):
         off = pl.multiple_of(off_ref[j * t_sb + t], block)
         xw = xbuf[pl.ds(slot * buf + off, window), :]
-        out_ref[t * block:(t + 1) * block, :] = jnp.dot(
+        acc = jnp.dot(
             s_ref[t * block:(t + 1) * block, :].astype(xbuf.dtype), xw,
             preferred_element_type=jnp.float32, precision=prec,
-        ).astype(out_ref.dtype)
+        )
+        if has_esc:
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (block, cnt_pad), 0)
+                == lrow_ref[t, :].reshape(1, cnt_pad)
+            ).astype(xbuf.dtype)
+            fchunk = fbuf[pl.ds((slot * t_sb + t) * cnt_pad, cnt_pad), :]
+            acc = acc + jnp.dot(
+                onehot, fchunk,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        out_ref[t * block:(t + 1) * block, :] = acc.astype(out_ref.dtype)
 
     @pl.when(j + 2 < num_super)
     def _():
-        dma(jnp.minimum(j + 2, num_super - 1), slot).start()
+        start_all(jnp.minimum(j + 2, num_super - 1), slot)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
-def _diag_impl(off, xbase, s_mat, x_pad, block, window, t_sb):
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+def _diag_impl(off, xbase, estart, s_mat, lrow, fix, x_pad,
+               block, window, t_sb, cnt_pad):
     n_pad = s_mat.shape[0]
     f_pad = x_pad.shape[1]
     num_super = n_pad // (block * t_sb)
     buf = window + (t_sb - 1) * block
+    has_esc = cnt_pad > 0
+
+    idx = lambda j, *_: (j, 0)  # noqa: E731 — shared block index map
+    in_specs = [
+        pl.BlockSpec((block * t_sb, window), idx, memory_space=pltpu.VMEM),
+    ]
+    args = [off, xbase]
+    scratch = [
+        pltpu.VMEM((2 * buf, f_pad), x_pad.dtype),
+    ]
+    if has_esc:
+        args.append(estart)
+        in_specs.append(
+            pl.BlockSpec((t_sb, cnt_pad), idx, memory_space=pltpu.VMEM)
+        )
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch.append(pltpu.VMEM((2 * t_sb * cnt_pad, f_pad), x_pad.dtype))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    if has_esc:
+        scratch.append(pltpu.SemaphoreType.DMA((2, t_sb)))
+        call_args = args + [s_mat, lrow, fix, x_pad]
+    else:
+        call_args = args + [s_mat, x_pad]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if has_esc else 2,
         grid=(num_super,),
-        in_specs=[
-            pl.BlockSpec((block * t_sb, window), lambda j, o, xb: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((block * t_sb, f_pad), lambda j, o, xb: (j, 0),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block * t_sb, f_pad), idx,
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2 * buf, f_pad), x_pad.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
-    kernel = functools.partial(_diag_kernel, window, buf, t_sb, num_super)
+    kernel = functools.partial(_diag_kernel, window, buf, t_sb, num_super,
+                               cnt_pad if has_esc else 0)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, f_pad), x_pad.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * window * f_pad,
+            flops=2 * n_pad * (window + (cnt_pad if has_esc else 0)) * f_pad,
             bytes_accessed=s_mat.size * s_mat.dtype.itemsize
-            + 2 * x_pad.size * x_pad.dtype.itemsize,
+            + 2 * x_pad.size * x_pad.dtype.itemsize
+            + (fix.size * fix.dtype.itemsize if has_esc else 0),
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(off, xbase, s_mat, x_pad)
+    )(*call_args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _diag_diff(off, xbase, s_mat, xp, block, window, t_sb):
-    return _diag_impl(off, xbase, s_mat, xp, block, window, t_sb)
+def _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, xp,
+                    block, window, t_sb, w_chunk, cnt_pad):
+    """Full composite: escape contributions gathered into the (U, F) fix
+    array (measured ~free — scattered row reads overlap), then placed inside
+    the kernel via contiguous DMA + one-hot matmul. ``nbr is None`` means no
+    escapes."""
+    f_pad = xp.shape[1]
+    fix = None
+    if nbr is not None:
+        fix = _escape_rows_fix(nbr, w, xp).astype(xp.dtype)
+    outs = []
+    for c0 in range(0, f_pad, w_chunk):
+        wc = min(w_chunk, f_pad - c0)
+        outs.append(_diag_impl(
+            off, xbase, estart, s_mat, lrow,
+            None if fix is None else fix[:, c0:c0 + wc],
+            xp[:, c0:c0 + wc],
+            block, window, t_sb, cnt_pad if fix is not None else 0,
+        ))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
-def _diag_fwd(off, xbase, s_mat, xp, block, window, t_sb):
-    return _diag_impl(off, xbase, s_mat, xp, block, window, t_sb), (off, xbase, s_mat)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _diag_comp_diff(off, xbase, s_mat, nbr, w, estart, lrow, xp,
+                    block, window, t_sb, w_chunk, cnt_pad):
+    return _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, xp,
+                           block, window, t_sb, w_chunk, cnt_pad)
 
 
-def _diag_bwd(block, window, t_sb, res, g):
-    # In-window S is symmetric (escapes are symmetrized at build), so the
-    # backward is the forward on the cotangent.
-    off, xbase, s_mat = res
-    gx = _diag_impl(off, xbase, s_mat, g, block, window, t_sb)
-    return (None, None, None, gx.astype(g.dtype))
+def _diag_comp_fwd(off, xbase, s_mat, nbr, w, estart, lrow, xp,
+                   block, window, t_sb, w_chunk, cnt_pad):
+    out = _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, xp,
+                          block, window, t_sb, w_chunk, cnt_pad)
+    return out, (off, xbase, s_mat, nbr, w, estart, lrow, xp.shape[0])
 
 
-_diag_diff.defvjp(_diag_fwd, _diag_bwd)
+def _diag_comp_bwd(block, window, t_sb, w_chunk, cnt_pad, res, g):
+    # The composite operator (in-window S + symmetrized escapes) is globally
+    # symmetric and zero on padding rows/cols, so the x-cotangent is the
+    # same composite applied to the cotangent's source-row slice.
+    off, xbase, s_mat, nbr, w, estart, lrow, src_rows = res
+    gx = _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow,
+                         g[:src_rows], block, window, t_sb, w_chunk, cnt_pad)
+    return (None, None, None, None, None, None, None,
+            gx[:src_rows].astype(g.dtype))
+
+
+_diag_comp_diff.defvjp(_diag_comp_fwd, _diag_comp_bwd)
 
 
 def spmm_diag_window(graph, x: Array, f_blk: "int | None" = None) -> Array:
     """Diagonal-window superblock aggregation (v6; see
     ``gwen_tpu.graph.graph.DiagWindowGraph``). Escape-window graphs add the
-    out-of-window edges back via the gather-only :class:`EscapeFixup`."""
-    return _sliding_escape_add(
-        graph, x, _spmm_diag_window_core(graph, x, f_blk)
-    )
+    out-of-window edges back inside the kernel: the (U, F) escape fix is
+    gathered outside (~free), each destination block DMAs its contiguous
+    fix slice, and a one-hot MXU matmul places it — no XLA scatter (which
+    measured ~70 ns/row) anywhere in the composite."""
+    return _spmm_diag_window_core(graph, x, f_blk)
 
 
 def _spmm_diag_window_core(graph, x: Array, f_blk: "int | None" = None) -> Array:
@@ -998,8 +1127,13 @@ def _spmm_diag_window_core(graph, x: Array, f_blk: "int | None" = None) -> Array
                          for b in range(xb.shape[0])])
         return out.reshape(leading + out.shape[-2:])
 
-    # Column chunk: both double buffers must fit the VMEM budget.
-    w_budget = _SLIDING_RING_VMEM_BYTES // (2 * graph.buf_rows * itemsize)
+    # Column chunk: double x buffers + the double-buffered escape-fix
+    # slices must fit the VMEM budget.
+    esc = graph.escape
+    row_cost = 2 * graph.buf_rows + (
+        2 * graph.superblock * graph.esc_cnt_pad if esc is not None else 0
+    )
+    w_budget = _SLIDING_RING_VMEM_BYTES // (row_cost * itemsize)
     w_chunk = max((w_budget // 128) * 128, 128)
     if f_blk is not None:
         w_chunk = min(w_chunk, max(_round_up(f_blk, 128), 128))
@@ -1008,14 +1142,14 @@ def _spmm_diag_window_core(graph, x: Array, f_blk: "int | None" = None) -> Array
     xp = jnp.zeros((src_alloc, f_pad), x.dtype)
     xp = xp.at[: min(n, src_alloc), :f].set(x[: min(n, src_alloc)])
 
-    outs = []
-    for c0 in range(0, f_pad, w_chunk):
-        w = min(w_chunk, f_pad - c0)
-        outs.append(_diag_diff(
-            graph.offsets, graph.xbase, graph.s_mat, xp[:, c0:c0 + w],
-            graph.block_size, graph.window_size, graph.superblock,
-        ))
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    out = _diag_comp_diff(
+        graph.offsets, graph.xbase, graph.s_mat,
+        None if esc is None else esc.nbr,
+        None if esc is None else esc.w,
+        graph.esc_start, graph.esc_lrow, xp,
+        graph.block_size, graph.window_size, graph.superblock, w_chunk,
+        graph.esc_cnt_pad,
+    )
     return out[: graph.num_nodes, :f]
 
 
