@@ -54,7 +54,27 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
             levels=levels, members=members, steps=steps, seed=tcfg.seed
         )
     n = fields.shape[2]
-    perm = rcm_order(s, r, n)
+    n_dev = len(jax.devices())
+    graph_parts = min(config.mesh.graph_axis, n_dev)
+    use_partition = (
+        graph_parts > 1 or config.mesh.force_partition
+    ) and n_dev % graph_parts == 0
+    # Kernel/ordering choice: the diag-window (v6) layout wants the
+    # KD-patch ordering (narrow windows, ~2% escapes); everything else
+    # (incl. the partitioned path's contiguous chunks) wants RCM.
+    kernel = config.mesh.kernel
+    use_diag = (
+        not use_partition
+        and jax.default_backend() == "tpu"
+        and kernel in ("auto", "diag")
+        and verts is not None
+    )
+    if use_diag:
+        from gwen_tpu.graph import kd_patch_order
+
+        perm = kd_patch_order(np.asarray(verts), s, r, n)
+    else:
+        perm = rcm_order(s, r, n)
     s2, r2, _ = apply_order(perm, s, r)
     if lazy:
         # Streaming path (data.lazy=true): node reorder composes onto each
@@ -77,12 +97,6 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
         remat=tcfg.remat,
         compute_dtype=compute_dtype,
     )
-
-    n_dev = len(jax.devices())
-    graph_parts = min(config.mesh.graph_axis, n_dev)
-    use_partition = (
-        graph_parts > 1 or config.mesh.force_partition
-    ) and n_dev % graph_parts == 0
 
     # Graph tables travel through the jitted steps as the Trainer *context*
     # (arguments, not closed-over constants — mandatory at mesh scale).
@@ -150,24 +164,37 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
     else:
         mesh = None
         g = build_graph(s2, r2, n)
-        if jax.default_backend() == "tpu":
-            # Sliding-ring streamed-S kernel (fastest: x read once, one S
-            # stream shared across folded batch members); S built on device
-            # so only O(edges) bytes cross the host->device link. Where the
+        if use_diag:
+            # Diagonal-window superblock kernel (v6) over the KD-patch
+            # ordering: narrow streamed windows (S bytes/flops ∝ window)
+            # with the ~2% out-of-window edges placed in-kernel. Fastest
+            # measured at every level: L7 agg 1.17 ms vs 1.71 sliding,
+            # L8 5.96 vs 9.4, L9 24.8 vs 59.6 packed. S built on device.
+            from gwen_tpu.graph import to_diag_window
+
+            graph = to_diag_window(
+                g, window_size=config.mesh.diag_window,
+                dtype=compute_dtype, device_build=True,
+            )
+        elif jax.default_backend() == "tpu" and kernel != "segment":
+            # Sliding-ring streamed-S kernel (x read once, one S stream
+            # shared across folded batch members); S built on device so
+            # only O(edges) bytes cross the host->device link. Where the
             # weighted S would not fit HBM (L9+), the bit-packed rank-1
-            # variant (1/16 the bytes) keeps the MXU path (59.7 ms/agg at
-            # L9 vs 229 ms blocked-ELL).
+            # variant (1/16 the bytes) keeps the MXU path.
             from gwen_tpu.graph import bandwidth as graph_bandwidth
             from gwen_tpu.graph import to_sliding_packed
 
             bw = graph_bandwidth(s2, r2)
             s_bytes = (-(-n // 128) * 128) * (-(-bw // 128) * 128 + 128) * 2
-            if s_bytes < int(7 * 2**30):
+            if kernel == "packed" or (
+                kernel != "sliding" and s_bytes >= int(7 * 2**30)
+            ):
+                graph = to_sliding_packed(g, device_build=True)
+            else:
                 graph = to_sliding_dense(
                     g, dtype=compute_dtype, device_build=True
                 )
-            else:
-                graph = to_sliding_packed(g, device_build=True)
         else:
             graph = g
         context = graph

@@ -173,6 +173,14 @@ class MeshParallelConfig:
     # Build the (large) stacked scatter matrices on device from O(edges)
     # tables instead of shipping them over the host->device link.
     device_build: bool = True
+    # Single-chip aggregation kernel: "auto" picks the diagonal-window (v6)
+    # layout when vertex positions are available (KD-patch ordering;
+    # fastest measured at L7-L9), falling back to sliding/packed by S size.
+    # Explicit values: "diag" | "sliding" | "packed" | "segment".
+    kernel: str = "auto"
+    # Streamed window width for the diag layout (rounded up to the block
+    # multiple; ~2% of edges escape at 384 on KD-ordered icospheres).
+    diag_window: int = 384
 
 
 @dataclass

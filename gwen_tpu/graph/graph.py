@@ -700,6 +700,16 @@ class DiagWindowGraph:
     esc_lrow: Optional[Array] = None  # (num_blocks, esc_cnt_pad) int32 —
     #   block-local dst row of fix[esc_start_i + j], or block_size (no-op)
     esc_cnt_pad: int = struct.field(pytree_node=False, default=0)
+    # Hierarchical escape contraction (set when the escape set is large):
+    # the escape graph compacted to its U unique endpoints is itself a
+    # near-1-D boundary skeleton (RCM band 66 at L8 / 124 at L9 for U of
+    # 39k / 156k), so the per-edge ELL gather (~12 ns per random 512 B row
+    # read) is replaced by one U-row compaction gather (fused with the RCM
+    # permutation), a banded sliding-kernel contraction in compact space,
+    # and one U-row gather back to placement order.
+    esc2_graph: Optional["SlidingDenseGraph"] = None  # banded Ŝ in c2-space
+    esc2_src: Optional[Array] = None  # (U,) int32 — node row per c2 row
+    esc2_back: Optional[Array] = None  # (U_pad,) int32 — c2 row per fix row
 
     @property
     def num_padded_nodes(self) -> int:
@@ -727,6 +737,7 @@ def to_diag_window(
     dtype=np.float32,
     device_build: bool = False,
     escape_pad_multiple: int = 1024,
+    esc2_min_rows: int = 4096,
 ) -> DiagWindowGraph:
     """Build the diagonal-window superblock layout (see
     :class:`DiagWindowGraph`). Requires a locality ordering
@@ -781,6 +792,7 @@ def to_diag_window(
     esc_mask = _symmetric_escape_mask(s_np, r_np, out_of_win, n)
     escape = None
     esc_start = esc_lrow = None
+    esc2_graph = esc2_src = esc2_back = None
     esc_cnt_pad = 0
     n_esc = int(esc_mask.sum())
     if n_esc:
@@ -815,6 +827,34 @@ def to_diag_window(
             block,  # one-hot never matches → no-op slot
         ).astype(np.int32)
         esc_start = esc_start.astype(np.int32)
+
+        # Hierarchical contraction for large escape sets (see the
+        # DiagWindowGraph docstring): compact to the U unique endpoints
+        # (receivers == senders, the set is symmetric), RCM the compacted
+        # escape graph (band is tiny — the cross-leaf skeleton is ~1-D),
+        # and contract with the banded sliding kernel instead of the ELL
+        # gather. Exact: same edges, same weights, reordered.
+        if uniq.size >= esc2_min_rows:
+            from gwen_tpu.graph.reorder import rcm_order as _rcm
+
+            es2 = np.searchsorted(uniq, s_np[esc_mask])
+            er2 = np.searchsorted(uniq, r_np[esc_mask])
+            perm2 = _rcm(es2, er2, uniq.size)
+            inv2 = np.empty_like(perm2)
+            inv2[perm2] = np.arange(perm2.size)
+            g2 = Graph(
+                senders=inv2[es2].astype(np.int32),
+                receivers=inv2[er2].astype(np.int32),
+                weights=w_np[esc_mask].astype(np.float32),
+                num_nodes=int(uniq.size),
+                num_edges=int(n_esc),
+            )
+            esc2_graph = to_sliding_dense(
+                g2, block_size=128, dtype=dtype, device_build=device_build
+            )
+            esc2_src = uniq[perm2].astype(np.int32)
+            esc2_back = np.zeros(u_pad, np.int32)
+            esc2_back[: uniq.size] = inv2
         keep = ~esc_mask
         s_np, r_np, w_np = s_np[keep], r_np[keep], w_np[keep]
 
@@ -851,6 +891,9 @@ def to_diag_window(
         esc_start=esc_start,
         esc_lrow=esc_lrow,
         esc_cnt_pad=esc_cnt_pad,
+        esc2_graph=esc2_graph,
+        esc2_src=esc2_src,
+        esc2_back=esc2_back,
     )
 
 

@@ -1045,15 +1045,32 @@ def _diag_impl(off, xbase, estart, s_mat, lrow, fix, x_pad,
     )(*call_args)
 
 
-def _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, xp,
-                    block, window, t_sb, w_chunk, cnt_pad):
+def _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
+                    block, window, t_sb, w_chunk, cnt_pad, e2_static):
     """Full composite: escape contributions gathered into the (U, F) fix
-    array (measured ~free — scattered row reads overlap), then placed inside
-    the kernel via contiguous DMA + one-hot matmul. ``nbr is None`` means no
-    escapes."""
+    array, then placed inside the kernel via contiguous DMA + one-hot
+    matmul. ``nbr is None`` means no escapes. With ``e2`` (large escape
+    sets) the fix comes from the hierarchical contraction: one fused
+    compaction+RCM gather, a banded sliding-kernel contraction in compact
+    space, and one gather back to placement (receiver-sorted) order —
+    replacing the per-edge ELL gather whose random 512 B row reads cost
+    ~12 ns each."""
     f_pad = xp.shape[1]
     fix = None
-    if nbr is not None:
+    if e2 is not None:
+        from gwen_tpu.graph.graph import SlidingDenseGraph
+
+        e2_src, e2_back, e2_smat, e2_ws, e2_db = e2
+        b2, w2, md2, sr2, n2, ne2 = e2_static
+        g2 = SlidingDenseGraph(
+            s_mat=e2_smat, window_start=e2_ws, delta_blocks=e2_db,
+            num_nodes=n2, num_edges=ne2, block_size=b2, window_size=w2,
+            max_delta_blocks=md2, num_src_rows=sr2,
+        )
+        xc2 = jnp.take(xp, e2_src, axis=0)
+        fixc2 = _spmm_sliding_dense_core(g2, xc2)
+        fix = jnp.take(fixc2, e2_back, axis=0).astype(xp.dtype)
+    elif nbr is not None:
         fix = _escape_rows_fix(nbr, w, xp).astype(xp.dtype)
     outs = []
     for c0 in range(0, f_pad, w_chunk):
@@ -1067,28 +1084,30 @@ def _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, xp,
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
-def _diag_comp_diff(off, xbase, s_mat, nbr, w, estart, lrow, xp,
-                    block, window, t_sb, w_chunk, cnt_pad):
-    return _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, xp,
-                           block, window, t_sb, w_chunk, cnt_pad)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+def _diag_comp_diff(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
+                    block, window, t_sb, w_chunk, cnt_pad, e2_static):
+    return _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
+                           block, window, t_sb, w_chunk, cnt_pad, e2_static)
 
 
-def _diag_comp_fwd(off, xbase, s_mat, nbr, w, estart, lrow, xp,
-                   block, window, t_sb, w_chunk, cnt_pad):
-    out = _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, xp,
-                          block, window, t_sb, w_chunk, cnt_pad)
-    return out, (off, xbase, s_mat, nbr, w, estart, lrow, xp.shape[0])
+def _diag_comp_fwd(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
+                   block, window, t_sb, w_chunk, cnt_pad, e2_static):
+    out = _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
+                          block, window, t_sb, w_chunk, cnt_pad, e2_static)
+    return out, (off, xbase, s_mat, nbr, w, estart, lrow, e2, xp.shape[0])
 
 
-def _diag_comp_bwd(block, window, t_sb, w_chunk, cnt_pad, res, g):
+def _diag_comp_bwd(block, window, t_sb, w_chunk, cnt_pad, e2_static, res, g):
     # The composite operator (in-window S + symmetrized escapes) is globally
     # symmetric and zero on padding rows/cols, so the x-cotangent is the
     # same composite applied to the cotangent's source-row slice.
-    off, xbase, s_mat, nbr, w, estart, lrow, src_rows = res
-    gx = _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow,
-                         g[:src_rows], block, window, t_sb, w_chunk, cnt_pad)
+    off, xbase, s_mat, nbr, w, estart, lrow, e2, src_rows = res
+    gx = _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2,
+                         g[:src_rows], block, window, t_sb, w_chunk, cnt_pad,
+                         e2_static)
     return (None, None, None, None, None, None, None,
+            None if e2 is None else (None,) * len(e2),
             gx[:src_rows].astype(g.dtype))
 
 
@@ -1142,13 +1161,20 @@ def _spmm_diag_window_core(graph, x: Array, f_blk: "int | None" = None) -> Array
     xp = jnp.zeros((src_alloc, f_pad), x.dtype)
     xp = xp.at[: min(n, src_alloc), :f].set(x[: min(n, src_alloc)])
 
+    e2 = e2_static = None
+    g2 = graph.esc2_graph
+    if g2 is not None:
+        e2 = (graph.esc2_src, graph.esc2_back, g2.s_mat, g2.window_start,
+              g2.delta_blocks)
+        e2_static = (g2.block_size, g2.window_size, g2.max_delta_blocks,
+                     g2.num_src_rows, g2.num_nodes, g2.num_edges)
     out = _diag_comp_diff(
         graph.offsets, graph.xbase, graph.s_mat,
         None if esc is None else esc.nbr,
         None if esc is None else esc.w,
-        graph.esc_start, graph.esc_lrow, xp,
+        graph.esc_start, graph.esc_lrow, e2, xp,
         graph.block_size, graph.window_size, graph.superblock, w_chunk,
-        graph.esc_cnt_pad,
+        graph.esc_cnt_pad, e2_static,
     )
     return out[: graph.num_nodes, :f]
 

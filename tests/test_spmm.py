@@ -590,3 +590,43 @@ def test_escape_build_rejects_asymmetric_weights():
         to_sliding_dense(g, block_size=32, window_size=256)
     with pytest.raises(ValueError, match="not symmetric"):
         to_diag_window(g, window_size=256, block_size=32)
+
+
+def test_diag_window_hierarchical_escape_contraction():
+    """esc2: fix computed via compaction gather + banded c2-space sliding
+    kernel + gather-back, instead of the per-edge ELL gather. Exact."""
+    from gwen_tpu.graph import build_graph, kd_patch_order, to_diag_window
+    from gwen_tpu.graph.build import icosphere_edges
+    from gwen_tpu.ops.spmm_pallas import spmm_diag_window
+
+    verts, s, r = icosphere_edges(3)
+    n = verts.shape[0]
+    perm = kd_patch_order(verts, s, r, n, leaf_size=128)
+    s, r, _ = apply_order(perm, s, r)
+    g = build_graph(s, r, n)
+    dw = to_diag_window(g, window_size=256, block_size=32, superblock=4,
+                        esc2_min_rows=1)
+    assert dw.esc2_graph is not None and dw.esc2_src is not None
+    # The c2 contraction covers exactly the escape edges.
+    assert dw.esc2_graph.num_edges == dw.escape.num_edges
+
+    x = jnp.asarray(np.random.default_rng(41).normal(size=(n, 24)).astype(np.float32))
+    got = spmm_diag_window(dw, x)
+    want = aggregate_segment(g, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    # Gradient through the composite custom VJP (bwd = fwd on cotangent).
+    f = lambda xx: jnp.sum(jnp.sin(spmm_diag_window(dw, xx)))
+    fr = lambda xx: jnp.sum(jnp.sin(aggregate_segment(g, xx)))
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(x)), np.asarray(jax.grad(fr)(x)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    # Batched input takes the same path per sample.
+    xb = jnp.stack([x, x * 0.25])
+    gotb = spmm_diag_window(dw, xb)
+    np.testing.assert_allclose(
+        np.asarray(gotb), np.asarray(jnp.stack([want, want * 0.25])),
+        rtol=1e-4, atol=1e-4,
+    )
