@@ -46,18 +46,26 @@ def main() -> None:
     from gwen_tpu.train import TrainState, make_mesh
 
     level = int(sys.argv[1]) if len(sys.argv) > 1 else 7
-    layout = os.environ.get("GWEN_PB_LAYOUT", "sliding")
+    layout = os.environ.get("GWEN_PB_LAYOUT", "diag")
     iters = int(os.environ.get("GWEN_PB_ITERS", "20"))
     feats, latent, steps = 256, 256, 4
 
-    cache = f"/tmp/gwen_bench_mesh_L{level}.npz"
+    ordering = "kd" if layout == "diag" else "rcm"
+    cache = (
+        f"/tmp/gwen_bench_mesh_L{level}.npz"
+        if ordering == "rcm"
+        else f"/tmp/gwen_bench_mesh_{ordering}_L{level}.npz"
+    )
     if os.path.exists(cache):
         z = np.load(cache)
         s, r, n = z["s"], z["r"], int(z["n"])
     else:
+        from gwen_tpu.graph import kd_patch_order
+
         verts, s, r = icosphere_edges(level)
         n = verts.shape[0]
-        perm = rcm_order(s, r, n)
+        perm = (kd_patch_order(verts, s, r, n) if ordering == "kd"
+                else rcm_order(s, r, n))
         s, r, _ = apply_order(perm, s, r)
         np.savez(cache, s=s, r=r, n=n)
 
@@ -66,7 +74,8 @@ def main() -> None:
     mesh = make_mesh(data=1, graph=n_dev)
     pg = partition_graph(
         s, r, n, num_parts=n_dev, reorder=False, layout=layout,
-        s_dtype=jnp.bfloat16, device_build=(on_tpu and layout == "sliding"),
+        s_dtype=jnp.bfloat16,
+        device_build=(on_tpu and layout in ("sliding", "diag")),
     )
 
     model = EncodeProcessDecode(
@@ -97,8 +106,15 @@ def main() -> None:
 
     # Global (non-partitioned) reference step with the same kernel family.
     g = build_graph(s, r, n)
-    graph = (to_sliding_dense(g, dtype=jnp.bfloat16, device_build=True)
-             if on_tpu else g)
+    if not on_tpu:
+        graph = g
+    elif layout == "diag":
+        from gwen_tpu.graph import to_diag_window
+
+        graph = to_diag_window(g, window_size=384, dtype=jnp.bfloat16,
+                               device_build=True)
+    else:
+        graph = to_sliding_dense(g, dtype=jnp.bfloat16, device_build=True)
     graph = jax.device_put(graph)
     xg = xp[:n]
     yg = yp[:n]

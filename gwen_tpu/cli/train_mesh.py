@@ -69,7 +69,12 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
         and kernel in ("auto", "diag")
         and verts is not None
     )
-    if use_diag:
+    part_diag = (
+        use_partition
+        and config.mesh.partition_layout == "diag"
+        and verts is not None
+    )
+    if use_diag or part_diag:
         from gwen_tpu.graph import kd_patch_order
 
         perm = kd_patch_order(np.asarray(verts), s, r, n)
@@ -110,10 +115,11 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
             s2, r2, n, num_parts=graph_parts, reorder=False,
             layout=config.mesh.partition_layout,
             s_dtype=compute_dtype,
+            diag_window=config.mesh.diag_window,
             device_build=(
                 config.mesh.device_build
                 and jax.default_backend() == "tpu"
-                and config.mesh.partition_layout == "sliding"
+                and config.mesh.partition_layout in ("sliding", "diag")
             ),
         )
         apply_fn = make_partitioned_apply(model, pg, mesh)

@@ -738,6 +738,7 @@ def to_diag_window(
     device_build: bool = False,
     escape_pad_multiple: int = 1024,
     esc2_min_rows: int = 4096,
+    n_pad: Optional[int] = None,
 ) -> DiagWindowGraph:
     """Build the diagonal-window superblock layout (see
     :class:`DiagWindowGraph`). Requires a locality ordering
@@ -756,14 +757,19 @@ def to_diag_window(
     # and ell_tables rounds the window to a block multiple internally).
     W = _round_up(_round_up(int(window_size), 128), block)
     t_sb = max(int(superblock), 1)
-    n_pad = _round_up(max(n, 1), block * t_sb)
     src_alloc = _round_up(max(n, 1), block)
     W = min(W, src_alloc)
     buf = W + (t_sb - 1) * block
     while buf > src_alloc and t_sb > 1:  # tiny graphs: shrink the superblock
         t_sb -= 1
         buf = W + (t_sb - 1) * block
-    n_pad = _round_up(max(n, 1), block * t_sb)
+    if n_pad is None:
+        n_pad = _round_up(max(n, 1), block * t_sb)
+    elif n_pad < n or n_pad % (block * t_sb):
+        raise ValueError(
+            f"n_pad {n_pad} must be >= {n} and a multiple of "
+            f"block_size*superblock = {block * t_sb}"
+        )
     num_blocks = n_pad // block
     num_super = num_blocks // t_sb
 

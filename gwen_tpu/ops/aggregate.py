@@ -210,7 +210,7 @@ def aggregate_sliding_packed_reference(graph: SlidingPackedGraph, x: Array) -> A
 def aggregate(graph, x: Array, backend: str = "auto") -> Array:
     """Dispatch aggregation by graph container type / requested backend."""
     # Late import: parallel depends on ops for local aggregation.
-    from gwen_tpu.parallel.halo import HaloGraph, aggregate_halo
+    from gwen_tpu.parallel.halo import HaloDiagGraph, HaloGraph, aggregate_halo
 
     if isinstance(graph, MultiLevelGraph):
         out = aggregate(graph.subgraphs[0], x, backend=backend)
@@ -219,7 +219,7 @@ def aggregate(graph, x: Array, backend: str = "auto") -> Array:
         return out
     if isinstance(graph, DenseGraph):
         return aggregate_dense(graph, x)
-    if isinstance(graph, HaloGraph):
+    if isinstance(graph, (HaloGraph, HaloDiagGraph)):
         return aggregate_halo(graph, x, backend=backend)
     if isinstance(graph, WindowedDenseGraph):
         if backend in ("auto", "pallas"):

@@ -38,8 +38,65 @@ def make_partitioned_apply(
     """
     max_edges = int(pg.edges_per_part.max()) if pg.num_parts else 0
     sliding = pg.layout == "sliding" and pg.s_sliding is not None
+    diag = pg.layout == "diag" and pg.s_diag is not None
 
-    if sliding:
+    table_specs: "tuple | None" = None
+    if diag:
+        from gwen_tpu.parallel.halo import HaloDiagGraph
+
+        has_esc = pg.diag_esc_start is not None
+        sharded = (
+            jnp.asarray(pg.diag_offsets),
+            jnp.asarray(pg.diag_xbase),
+            jnp.asarray(pg.s_diag),
+        ) + ((
+            jnp.asarray(pg.diag_esc_start),
+            jnp.asarray(pg.diag_esc_lrow),
+            jnp.asarray(pg.diag_loc_idx),
+            jnp.asarray(pg.diag_back_loc),
+        ) if has_esc else ())
+        # Replicated: the c2 boundary-skeleton sub-kernel tables + the
+        # gathered-layout index (identical on every device).
+        repl = ((jnp.asarray(pg.diag_idx2), pg.esc2_graph)
+                if has_esc else ())
+        tables = sharded + repl
+        table_specs = tuple(P(graph_axis) for _ in sharded) + tuple(
+            P() for _ in repl
+        )
+
+        def local_apply(*args):
+            if has_esc:
+                (off_p, xb_p, s_p, es_p, lr_p, li_p, bk_p,
+                 idx2, esc2, params, x) = args
+            else:
+                off_p, xb_p, s_p, params, x = args
+                es_p = lr_p = li_p = bk_p = idx2 = esc2 = None
+
+            def first(a):  # strip the sliced leading partition axis
+                return None if a is None else a[0]
+
+            hg = HaloDiagGraph(
+                offsets=off_p[0],
+                xbase=xb_p[0],
+                s_mat=s_p[0],
+                axis_name=graph_axis,
+                halo=pg.halo,
+                n_local=pg.n_local,
+                block_size=pg.block_size,
+                window_size=pg.diag_window,
+                superblock=pg.diag_superblock,
+                num_edges=max_edges,
+                esc_start=first(es_p),
+                esc_lrow=first(lr_p),
+                loc_idx=first(li_p),
+                back_loc=first(bk_p),
+                idx2=idx2,
+                esc2=esc2,
+                cnt_pad=pg.diag_cnt_pad,
+                u_pp=pg.diag_u_pp,
+            )
+            return model.apply(params, hg, x)
+    elif sliding:
         # Flagship v4 layout: ring-S + monotonic starts + per-block deltas.
         tables = (
             jnp.asarray(pg.sliding_window_start),
@@ -95,12 +152,14 @@ def make_partitioned_apply(
             spec[0] = data_axis
         return P(*spec)
 
+    if table_specs is None:
+        table_specs = tuple(P(graph_axis) for _ in tables)
+
     def apply(params, x, tables_arg=None):
         """``tables_arg`` lets callers thread the partition tables through a
         jit boundary as arguments (mesh-scale-safe; defaults to the captured
         tables, fine for small graphs)."""
         t = tables if tables_arg is None else tables_arg
-        table_specs = tuple(P(graph_axis) for _ in t)
         mapped = jax.shard_map(
             local_apply,
             mesh=mesh,
@@ -111,4 +170,5 @@ def make_partitioned_apply(
         return mapped(*t, params, x)
 
     apply.tables = tables
+    apply.table_specs = table_specs
     return apply

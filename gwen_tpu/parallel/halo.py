@@ -74,6 +74,49 @@ class HaloGraph:
         )
 
 
+@struct.dataclass
+class HaloDiagGraph:
+    """Per-device partition of the GLOBAL diagonal-window (v6) layout.
+
+    Local aggregation = halo exchange (halo = window, O(1) in mesh size —
+    vs the O(√N) bandwidth halos of the RCM layouts) + the diag superblock
+    kernel over the halo-extended rows. Escape edges (~2% under the
+    KD-patch ordering) ride the hierarchical contraction *globally*: each
+    device extracts its slice of the U boundary-skeleton rows, one
+    ``all_gather`` over the graph axis rebuilds the compacted x, the
+    banded c2 sliding sub-kernel runs replicated (it is tiny), and each
+    device gathers + places its fix slice in-kernel (one-hot MXU matmul).
+    """
+
+    offsets: Array  # (n_local // block,) int32 — ws − xbase, ext-relative
+    xbase: Array  # (blocks // superblock,) int32 — superblock buffer start
+    s_mat: Array  # (n_local, W)
+    axis_name: str = struct.field(pytree_node=False)
+    halo: int = struct.field(pytree_node=False)
+    n_local: int = struct.field(pytree_node=False)
+    block_size: int = struct.field(pytree_node=False)
+    window_size: int = struct.field(pytree_node=False)
+    superblock: int = struct.field(pytree_node=False)
+    num_edges: int = struct.field(pytree_node=False)
+    # Escape machinery (None/0 when the window covers every edge):
+    esc_start: "Array | None" = None  # (blocks,) int32 into the local fix
+    esc_lrow: "Array | None" = None  # (blocks, cnt_pad) int32
+    loc_idx: "Array | None" = None  # (U_pp,) int32 — local x rows to extract
+    back_loc: "Array | None" = None  # (U_pp,) int32 — c2 row per fix row
+    idx2: "Array | None" = None  # (U,) int32 — gathered-layout row per c2 row
+    esc2: "object | None" = None  # replicated c2-space SlidingDenseGraph
+    cnt_pad: int = struct.field(pytree_node=False, default=0)
+    u_pp: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def num_nodes(self) -> int:  # model-facing row count per device
+        return self.n_local
+
+    @property
+    def ext_rows(self) -> int:
+        return self.n_local + 2 * self.halo
+
+
 def halo_exchange(x: Array, halo: int, axis_name: str) -> Array:
     """Bidirectional ring exchange of boundary rows; returns the extended
     array ``[left-halo | x | right-halo]`` along the node axis (-2)."""
@@ -136,9 +179,118 @@ def _aggregate_halo_bwd(backend, graph, g):
 _aggregate_halo_sym.defvjp(_aggregate_halo_fwd, _aggregate_halo_bwd)
 
 
-def _aggregate_halo_impl(graph: HaloGraph, x: Array, backend: str) -> Array:
+def _diag_halo_fix(graph: "HaloDiagGraph", x: Array) -> "Array | None":
+    """Escape fix rows for this device's receivers (placement order):
+    extract local boundary-skeleton rows → ``all_gather`` over the graph
+    axis → banded c2 contraction (replicated, tiny) → gather back this
+    device's slice."""
+    if graph.esc_start is None:
+        return None
+    node_ax = x.ndim - 2
+    xc_loc = jnp.take(x, graph.loc_idx, axis=node_ax)
+    xc_all = jax.lax.all_gather(
+        xc_loc, graph.axis_name, axis=node_ax, tiled=True
+    )
+    xc2 = jnp.take(xc_all, graph.idx2, axis=node_ax)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from gwen_tpu.ops.spmm_pallas import spmm_sliding_dense
+
+        fixc2 = spmm_sliding_dense(graph.esc2, xc2)
+    else:
+        from gwen_tpu.ops.aggregate import aggregate_sliding_dense_reference
+
+        fixc2 = aggregate_sliding_dense_reference(graph.esc2, xc2)
+    return jnp.take(fixc2, graph.back_loc, axis=node_ax).astype(x.dtype)
+
+
+def _diag_halo_local(graph: "HaloDiagGraph", x_ext: Array,
+                     fix: "Array | None") -> Array:
+    """Local diag-window kernel over the halo-extended rows (Pallas)."""
+    from gwen_tpu.ops.spmm_pallas import (
+        _SLIDING_RING_VMEM_BYTES,
+        _diag_impl,
+        _round_up as _ru,
+    )
+
+    leading = x_ext.shape[:-2]
+    f = x_ext.shape[-1]
+    if leading:
+        xb = x_ext.reshape((-1,) + x_ext.shape[-2:])
+        fb = (None if fix is None
+              else fix.reshape((-1,) + fix.shape[-2:]))
+        out = jnp.stack([
+            _diag_halo_local(graph, xb[b], None if fb is None else fb[b])
+            for b in range(xb.shape[0])
+        ])
+        return out.reshape(leading + out.shape[-2:])
+
+    f_pad = _ru(f, 128)
+    itemsize = jnp.dtype(x_ext.dtype).itemsize
+    buf = graph.window_size + (graph.superblock - 1) * graph.block_size
+    row_cost = 2 * buf + (
+        2 * graph.superblock * graph.cnt_pad if fix is not None else 0
+    )
+    w_budget = _SLIDING_RING_VMEM_BYTES // (row_cost * itemsize)
+    w_chunk = min(max((w_budget // 128) * 128, 128), f_pad)
+
+    xp = jnp.zeros((graph.ext_rows, f_pad), x_ext.dtype)
+    xp = xp.at[:, :f].set(x_ext)
+    fp = None
+    if fix is not None:
+        fp = jnp.zeros((fix.shape[0], f_pad), x_ext.dtype)
+        fp = fp.at[:, :f].set(fix.astype(x_ext.dtype))
+    outs = []
+    for c0 in range(0, f_pad, w_chunk):
+        wc = min(w_chunk, f_pad - c0)
+        outs.append(_diag_impl(
+            graph.offsets, graph.xbase, graph.esc_start, graph.s_mat,
+            graph.esc_lrow, None if fp is None else fp[:, c0:c0 + wc],
+            xp[:, c0:c0 + wc],
+            graph.block_size, graph.window_size, graph.superblock,
+            graph.cnt_pad if fp is not None else 0,
+        ))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return out[:, :f]
+
+
+def _diag_halo_reference(graph: "HaloDiagGraph", x_ext: Array,
+                         fix: "Array | None") -> Array:
+    """jnp reference for the local diag kernel (CPU mesh tests)."""
+    bs = graph.block_size
+    w = graph.window_size
+    nb = graph.n_local // bs
+    s_blocks = graph.s_mat.reshape(nb, bs, w)
+    outs = []
+    for b in range(nb):
+        start = graph.xbase[b // graph.superblock] + graph.offsets[b]
+        win = jax.lax.dynamic_slice_in_dim(x_ext, start, w, axis=-2)
+        acc = jnp.einsum(
+            "bw,...wf->...bf", s_blocks[b].astype(x_ext.dtype), win
+        )
+        if fix is not None:
+            fr = jax.lax.dynamic_slice_in_dim(
+                fix, graph.esc_start[b], graph.cnt_pad, axis=-2
+            )
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (bs, graph.cnt_pad), 0)
+                == graph.esc_lrow[b][None, :]
+            ).astype(x_ext.dtype)
+            acc = acc + jnp.einsum("bu,...uf->...bf", onehot, fr)
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=-2)
+
+
+def _aggregate_halo_impl(graph, x: Array, backend: str) -> Array:
     x_ext = halo_exchange(x, graph.halo, graph.axis_name)
     on_tpu = jax.default_backend() == "tpu"
+    if isinstance(graph, HaloDiagGraph):
+        fix = _diag_halo_fix(graph, x)
+        if backend in ("auto", "pallas") and on_tpu:
+            out = _diag_halo_local(graph, x_ext, fix)
+        else:
+            out = _diag_halo_reference(graph, x_ext, fix)
+        return out[..., : graph.n_local, :]
     if graph.delta_blocks is not None:
         # Sliding-ring streamed-S local kernel (v4, the flagship layout).
         from gwen_tpu.graph.graph import SlidingDenseGraph

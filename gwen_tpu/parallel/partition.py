@@ -61,6 +61,26 @@ class PartitionedGraph:
     sliding_ring: int = 0
     sliding_max_delta: int = 0
     layout: str = "ell"
+    # Diagonal-window layout (v6 kernel, layout="diag"): the GLOBAL diag
+    # layout sliced per partition (contiguous chunks ⇒ S rows reshape; the
+    # implicit-diagonal window starts re-expressed halo-ext-relative). The
+    # decisive scaling property vs RCM layouts: halo = window (O(1), ~384
+    # rows) instead of the full graph bandwidth (O(√N)). Escapes ride the
+    # hierarchical contraction with one all_gather of the U boundary-
+    # skeleton rows (see gwen_tpu.parallel.halo.HaloDiagGraph).
+    s_diag: "np.ndarray | None" = None  # (P, n_local, W)
+    diag_offsets: "np.ndarray | None" = None  # (P, n_local // block) int32
+    diag_xbase: "np.ndarray | None" = None  # (P, blocks // superblock) int32
+    diag_window: int = 0
+    diag_superblock: int = 0
+    diag_cnt_pad: int = 0
+    diag_u_pp: int = 0  # padded per-partition boundary-row count
+    diag_esc_start: "np.ndarray | None" = None  # (P, n_local // block) int32
+    diag_esc_lrow: "np.ndarray | None" = None  # (P, blocks, cnt_pad) int32
+    diag_loc_idx: "np.ndarray | None" = None  # (P, U_pp) int32 local x rows
+    diag_back_loc: "np.ndarray | None" = None  # (P, U_pp) int32 c2 rows
+    diag_idx2: "np.ndarray | None" = None  # (U,) int32 into gathered layout
+    esc2_graph: "object | None" = None  # replicated c2 SlidingDenseGraph
 
     @property
     def padded_nodes(self) -> int:
@@ -98,6 +118,8 @@ def partition_graph(
     layout: str = "ell",
     s_dtype=np.float32,
     device_build: bool = False,
+    diag_window: int = 384,
+    diag_superblock: int = 8,
 ) -> PartitionedGraph:
     """Partition a (symmetric) graph into ``num_parts`` contiguous chunks.
 
@@ -116,11 +138,14 @@ def partition_graph(
     """
     if dense_s:
         layout = "dense"
-    if layout not in ("ell", "dense", "sliding"):
+    if layout not in ("ell", "dense", "sliding", "diag"):
         raise ValueError(f"unknown partition layout {layout!r}")
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
     if reorder:
+        # NOTE: RCM is the right default for the band-based layouts below.
+        # layout="diag" callers should kd_patch_order the edge list first
+        # and pass reorder=False (the diag windows want patch locality).
         perm = rcm_order(senders, receivers, num_nodes)
         senders, receivers, _ = apply_order(perm, senders, receivers)
     else:
@@ -129,6 +154,14 @@ def partition_graph(
     inv[perm] = np.arange(num_nodes)
 
     s, r, w = gcn_normalize(senders, receivers, num_nodes, self_loops=self_loops)
+
+    if layout == "diag":
+        return _partition_diag(
+            s, r, w, num_nodes, num_parts, perm, inv,
+            block_size=block_size, window_size=diag_window,
+            superblock=diag_superblock, s_dtype=s_dtype,
+            device_build=device_build,
+        )
 
     n_local = _round_up(-(-num_nodes // num_parts), block_size)
     bw = bandwidth(s, r)
@@ -256,4 +289,180 @@ def partition_graph(
         sliding_ring=sl_ring,
         sliding_max_delta=max(sl_max_delta, 1) if layout == "sliding" else 0,
         layout=layout,
+    )
+
+
+def _partition_diag(
+    s: np.ndarray,
+    r: np.ndarray,
+    w: np.ndarray,
+    num_nodes: int,
+    num_parts: int,
+    perm: np.ndarray,
+    inv: np.ndarray,
+    *,
+    block_size: int,
+    window_size: int,
+    superblock: int,
+    s_dtype,
+    device_build: bool,
+) -> PartitionedGraph:
+    """Partition via the GLOBAL diagonal-window layout (v6 kernel).
+
+    Contiguous chunks make the slicing trivial: S rows reshape to
+    ``(P, n_local, W)`` and the implicit-diagonal window starts re-express
+    halo-ext-relative with ``halo = round_up(W, block)`` — O(1) in mesh
+    size, vs the O(√N) bandwidth halos of the RCM layouts. Escape edges
+    (~2% under a KD-patch ordering) keep the hierarchical contraction:
+    each device extracts its slice of the U boundary-skeleton rows, one
+    ``all_gather`` rebuilds the compacted x, the banded c2 sub-kernel runs
+    replicated, and each device places its fix slice in-kernel.
+    """
+    from gwen_tpu.graph.graph import Graph, to_diag_window
+
+    block = block_size
+    t_sb = max(int(superblock), 1)
+    n_local = _round_up(-(-num_nodes // num_parts), block * t_sb)
+    n_pad = num_parts * n_local
+    g_norm = Graph(
+        senders=s.astype(np.int32), receivers=r.astype(np.int32),
+        weights=w.astype(np.float32), num_nodes=num_nodes, num_edges=len(s),
+    )
+    dwg = to_diag_window(
+        g_norm, window_size=window_size, block_size=block, superblock=t_sb,
+        dtype=s_dtype, device_build=device_build, esc2_min_rows=1,
+        n_pad=n_pad,
+    )
+    if dwg.superblock != t_sb:
+        raise ValueError(
+            f"graph too small for partitioned diag layout at superblock="
+            f"{t_sb} (shrunk to {dwg.superblock}); reduce superblock or "
+            f"num_parts"
+        )
+    W = dwg.window_size
+    buf = W + (t_sb - 1) * block
+    halo_eff = _round_up(W, block)
+    if halo_eff > n_local:
+        raise ValueError(
+            f"diag halo {halo_eff} (= window) exceeds partition size "
+            f"{n_local}: too many partitions for this window — reduce "
+            f"num_parts or diag_window"
+        )
+    n_ext = n_local + 2 * halo_eff
+    if buf > n_ext:
+        raise ValueError(
+            f"diag superblock buffer {buf} exceeds halo-extended partition "
+            f"{n_ext}; reduce superblock or increase partition size"
+        )
+    nb_loc = n_local // block
+    ns_loc = nb_loc // t_sb
+
+    # Global window starts, re-expressed relative to each partition's
+    # halo-extended local array [left-halo | local | right-halo].
+    ws_glob = np.repeat(np.asarray(dwg.xbase, np.int64), t_sb) + np.asarray(
+        dwg.offsets, np.int64
+    )
+    ws_l = ws_glob.reshape(num_parts, nb_loc) - (
+        np.arange(num_parts, dtype=np.int64)[:, None] * n_local - halo_eff
+    )
+    if ws_l.min() < 0 or ws_l.max() > n_ext - W:
+        raise AssertionError("diag window escapes the halo-extended array")
+    # ws is monotone within each partition, so the superblock's first block
+    # holds the minimum; clamp so the buffer stays in bounds.
+    xb_l = np.clip(
+        ws_l.reshape(num_parts, ns_loc, t_sb)[:, :, 0], 0, n_ext - buf
+    )
+    off_l = ws_l - np.repeat(xb_l, t_sb, axis=1)
+    if off_l.min() < 0 or off_l.max() > buf - W:
+        raise AssertionError("diag offsets escape the superblock buffer")
+
+    s_mat = dwg.s_mat
+    if device_build:
+        s_diag = s_mat.reshape(num_parts, n_local, W)
+    else:
+        s_diag = np.asarray(s_mat).reshape(num_parts, n_local, W)
+
+    # ---- escape (boundary-skeleton) tables, partitioned ------------------
+    cnt_pad = 0
+    u_pp = 0
+    esc_start_l = esc_lrow_l = loc_idx = back_loc = idx2 = None
+    esc2_graph = None
+    if dwg.escape is not None:
+        assert dwg.esc2_graph is not None  # esc2_min_rows=1 forces it
+        esc2_graph = dwg.esc2_graph
+        cnt_pad = dwg.esc_cnt_pad
+        uniq = np.sort(np.asarray(dwg.esc2_src, np.int64))
+        U = uniq.size
+        inv2 = np.asarray(dwg.esc2_back, np.int64)[:U]
+        bounds = np.arange(num_parts + 1, dtype=np.int64) * n_local
+        ulo = np.searchsorted(uniq, bounds[:-1])
+        uhi = np.searchsorted(uniq, bounds[1:])
+        u_part = uhi - ulo
+        u_pp = _round_up(int(u_part.max()) + cnt_pad + 8, 8)
+        loc_idx = np.zeros((num_parts, u_pp), np.int32)
+        back_loc = np.zeros((num_parts, u_pp), np.int32)
+        for p in range(num_parts):
+            k = int(u_part[p])
+            loc_idx[p, :k] = uniq[ulo[p]:uhi[p]] - p * n_local
+            back_loc[p, :k] = inv2[ulo[p]:uhi[p]]
+        # c2 row k reads gathered-layout row owner*u_pp + (cpos - ulo[owner])
+        cpos = np.searchsorted(uniq, np.asarray(dwg.esc2_src, np.int64))
+        owner = uniq[cpos] // n_local
+        idx2 = (owner * u_pp + (cpos - ulo[owner])).astype(np.int32)
+        # per-partition in-kernel placement tables against the LOCAL slice
+        esc_start_l = np.zeros((num_parts, nb_loc), np.int32)
+        esc_lrow_l = np.full((num_parts, nb_loc, cnt_pad), block, np.int32)
+        for p in range(num_parts):
+            k = int(u_part[p])
+            u_loc = uniq[ulo[p]:uhi[p]] - p * n_local  # sorted, in [0, n_local)
+            lo = np.searchsorted(u_loc, np.arange(nb_loc, dtype=np.int64) * block)
+            hi = np.searchsorted(
+                u_loc, (np.arange(nb_loc, dtype=np.int64) + 1) * block
+            )
+            est = np.minimum((lo // 8) * 8, max(u_pp - cnt_pad, 0))
+            if not (hi - est <= cnt_pad).all():
+                raise AssertionError("partitioned escape slice too narrow")
+            e_idx = est[:, None] + np.arange(cnt_pad, dtype=np.int64)
+            valid = (e_idx >= lo[:, None]) & (e_idx < hi[:, None])
+            u_ext = np.concatenate([u_loc, np.zeros(cnt_pad + 8, np.int64)])
+            esc_lrow_l[p] = np.where(
+                valid,
+                u_ext[np.minimum(e_idx, u_ext.size - 1)]
+                - (np.arange(nb_loc, dtype=np.int64) * block)[:, None],
+                block,
+            ).astype(np.int32)
+            esc_start_l[p] = est.astype(np.int32)
+
+    counts = np.bincount(
+        np.minimum(r // n_local, num_parts - 1), minlength=num_parts
+    )
+    return PartitionedGraph(
+        nbr=np.zeros((num_parts, 1, 1), np.int32),
+        nbr_weight=np.zeros((num_parts, 1, 1), np.float32),
+        window_start=np.zeros((num_parts, 1), np.int32),
+        s_dense=None,
+        perm=perm,
+        inv_perm=inv,
+        num_parts=num_parts,
+        n_local=n_local,
+        halo=halo_eff,
+        block_size=block,
+        window_size=W,
+        num_nodes=num_nodes,
+        num_edges=len(s),
+        edges_per_part=np.asarray(counts),
+        layout="diag",
+        s_diag=s_diag,
+        diag_offsets=off_l.astype(np.int32),
+        diag_xbase=xb_l.astype(np.int32),
+        diag_window=W,
+        diag_superblock=t_sb,
+        diag_cnt_pad=cnt_pad,
+        diag_u_pp=u_pp,
+        diag_esc_start=esc_start_l,
+        diag_esc_lrow=esc_lrow_l,
+        diag_loc_idx=loc_idx,
+        diag_back_loc=back_loc,
+        diag_idx2=idx2,
+        esc2_graph=esc2_graph,
     )
