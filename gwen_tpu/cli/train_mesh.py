@@ -63,9 +63,29 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
     # KD-patch ordering (narrow windows, ~2% escapes); everything else
     # (incl. the partitioned path's contiguous chunks) wants RCM.
     kernel = config.mesh.kernel
+    processor = config.model.processor
+    if processor == "attention":
+        # Windowed attention rides the diag-window layout (+ transpose
+        # tables for the softmax backward); the partitioned variant is
+        # future work.
+        if use_partition:
+            raise ValueError(
+                "model.processor='attention' is not supported on the "
+                "partitioned path yet (mesh.graph_axis>1/force_partition)"
+            )
+        if verts is None:
+            raise ValueError(
+                "model.processor='attention' needs vertex positions for the "
+                "KD-patch diag-window layout"
+            )
+        if kernel not in ("auto", "diag"):
+            raise ValueError(
+                "model.processor='attention' requires mesh.kernel in "
+                f"('auto', 'diag'); got {kernel!r}"
+            )
     use_diag = (
         not use_partition
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or processor == "attention")
         and kernel in ("auto", "diag")
         and verts is not None
     )
@@ -101,6 +121,8 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
         residual=config.model.residual,
         remat=tcfg.remat,
         compute_dtype=compute_dtype,
+        processor=processor,
+        attn_heads=config.model.attn_heads,
     )
 
     # Graph tables travel through the jitted steps as the Trainer *context*
@@ -181,6 +203,7 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
             graph = to_diag_window(
                 g, window_size=config.mesh.diag_window,
                 dtype=compute_dtype, device_build=True,
+                transpose_tables=(processor == "attention"),
             )
         elif jax.default_backend() == "tpu" and kernel != "segment":
             # Sliding-ring streamed-S kernel (x read once, one S stream
@@ -302,9 +325,15 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
             process_steps=config.model.process_steps,
             mlp_layers=config.model.mlp_layers,
             residual=config.model.residual,
-            backend="segment",
+            backend="segment" if processor != "attention" else "auto",
+            processor=processor,
+            attn_heads=config.model.attn_heads,
         )
     )
+    if processor == "attention":
+        # Attention needs the diag layout; aggregate() dispatch makes the
+        # same container serve the perturbation smoothing.
+        global_graph = graph
     sigma = tcfg.sigma
     if tcfg.calibrate_sigma and fields.shape[1] > 1:
         cal = ensemble.calibrate_sigma(

@@ -101,6 +101,11 @@ class GNNModelConfig:
     residual: bool = True
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
+    # Processor family for encode-process-decode: "gcn" (normalized
+    # adjacency), "interaction" (edge-MLP messages), or "attention"
+    # (windowed graph attention over the diag-window layout).
+    processor: str = "gcn"
+    attn_heads: int = 2
 
 
 @dataclass

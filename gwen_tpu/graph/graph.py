@@ -710,6 +710,15 @@ class DiagWindowGraph:
     esc2_graph: Optional["SlidingDenseGraph"] = None  # banded Ŝ in c2-space
     esc2_src: Optional[Array] = None  # (U,) int32 — node row per c2 row
     esc2_back: Optional[Array] = None  # (U_pad,) int32 — c2 row per fix row
+    # Transpose coverage tables (:func:`diag_transpose_tables`): for each
+    # 128-row *source* block, the (dest-row start, window-column start)
+    # pairs of every sub-block whose window covers it. Consumed by the
+    # transpose kernel (``gwen_tpu.ops.attention_pallas.diag_spmm_t``)
+    # behind differentiable-S aggregation and windowed-attention backward.
+    t_rows: Optional[Array] = None  # (num_src_blocks, t_max) int32
+    t_cols: Optional[Array] = None  # (num_src_blocks, t_max) int32
+    t_cnt: Optional[Array] = None  # (num_src_blocks,) int32
+    t_max: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_padded_nodes(self) -> int:
@@ -739,6 +748,7 @@ def to_diag_window(
     escape_pad_multiple: int = 1024,
     esc2_min_rows: int = 4096,
     n_pad: Optional[int] = None,
+    transpose_tables: bool = False,
 ) -> DiagWindowGraph:
     """Build the diagonal-window superblock layout (see
     :class:`DiagWindowGraph`). Requires a locality ordering
@@ -883,7 +893,7 @@ def to_diag_window(
     if offsets.size and (offsets.min() < 0 or offsets.max() > buf - W):
         raise AssertionError("diag-window offsets escaped the buffer")
 
-    return DiagWindowGraph(
+    out = DiagWindowGraph(
         s_mat=s_mat,
         offsets=offsets.astype(np.int32),
         xbase=xbase.astype(np.int32),
@@ -901,6 +911,51 @@ def to_diag_window(
         esc2_src=esc2_src,
         esc2_back=esc2_back,
     )
+    if transpose_tables:
+        out = diag_transpose_tables(out)
+    return out
+
+
+def diag_transpose_tables(graph: DiagWindowGraph) -> DiagWindowGraph:
+    """Attach transpose coverage tables to a diag-window graph (host-side).
+
+    The transpose of the diagonal-window operator maps each *source* block
+    to the set of destination sub-blocks whose windows cover it. Window
+    starts are block-aligned and the window is a block multiple, so every
+    (sub-block, source-block) overlap is a full ``(block, block)`` tile:
+    the tables list, per source block, the destination-row start and the
+    window-column start of each covering tile (padded to the max count
+    ``t_max``; real count in ``t_cnt``). Consumed by
+    :func:`gwen_tpu.ops.attention_pallas.diag_spmm_t` — the backward
+    operator for differentiable edge weights and windowed attention.
+    """
+    if graph.t_max:
+        return graph
+    block = graph.block_size
+    W = graph.window_size
+    if W % block:
+        raise ValueError(f"window {W} not a multiple of block {block}")
+    t_sb = graph.superblock
+    xbase = np.asarray(graph.xbase, dtype=np.int64)
+    offsets = np.asarray(graph.offsets, dtype=np.int64)
+    starts = xbase[np.arange(offsets.size) // t_sb] + offsets
+    ns_blocks = graph.num_src_rows // block
+    wb = W // block
+    lists: list[list[tuple[int, int]]] = [[] for _ in range(ns_blocks)]
+    for j, st in enumerate(starts.tolist()):
+        c0 = st // block
+        for kk in range(wb):
+            lists[c0 + kk].append((j * block, kk * block))
+    t_max = max(1, max(len(lst) for lst in lists))
+    t_rows = np.zeros((ns_blocks, t_max), np.int32)
+    t_cols = np.zeros((ns_blocks, t_max), np.int32)
+    t_cnt = np.asarray([len(lst) for lst in lists], np.int32)
+    for c, lst in enumerate(lists):
+        for m, (r0, c0) in enumerate(lst):
+            t_rows[c, m] = r0
+            t_cols[c, m] = c0
+    return graph.replace(t_rows=t_rows, t_cols=t_cols, t_cnt=t_cnt,
+                         t_max=int(t_max))
 
 
 def _sliding_monotonic(

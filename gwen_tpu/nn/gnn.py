@@ -83,9 +83,11 @@ class EncodeProcessDecode:
     compute_dtype: jnp.dtype = jnp.float32
     backend: str = "auto"
     remat: bool = False
-    # "gcn" (normalized-adjacency aggregation, MXU/Pallas paths) or
-    # "interaction" (MeshGraphNets-style edge-MLP messages; segment path).
+    # "gcn" (normalized-adjacency aggregation, MXU/Pallas paths),
+    # "interaction" (MeshGraphNets-style edge-MLP messages; segment path),
+    # or "attention" (windowed graph attention; diag-window layout).
     processor: str = "gcn"
+    attn_heads: int = 2
 
     def init(self, key) -> core.Params:
         k_enc, k_proc, k_dec = jax.random.split(key, 3)
@@ -102,6 +104,13 @@ class EncodeProcessDecode:
                 from gwen_tpu.nn.interaction import interaction_init
 
                 params[f"process_{i}"] = interaction_init(k, L, self.mlp_layers)
+            elif self.processor == "attention":
+                from gwen_tpu.nn.attention import graph_attention_init
+
+                params[f"process_{i}"] = {
+                    "attn": graph_attention_init(k, L, self.attn_heads),
+                    "norm": core.layer_norm_init(L),
+                }
             else:
                 params[f"process_{i}"] = {
                     "gcn": gcn_init(k, L, L),
@@ -118,6 +127,15 @@ class EncodeProcessDecode:
 
             def step(h, p):
                 return interaction_apply(p, graph, jax.nn.relu(h))
+        elif self.processor == "attention":
+            from gwen_tpu.nn.attention import graph_attention_apply
+
+            def step(h, p):
+                m = graph_attention_apply(p["attn"], graph, jax.nn.relu(h),
+                                          heads=self.attn_heads,
+                                          backend=self.backend)
+                m = core.layer_norm_apply(p["norm"], m)
+                return h + m if self.residual else m
         else:
             def step(h, p):
                 m = gcn_apply(p["gcn"], graph, jax.nn.relu(h), backend=self.backend)

@@ -5,6 +5,12 @@ from gwen_tpu.ops.aggregate import (
     aggregate_dense,
     aggregate_segment,
 )
+from gwen_tpu.ops.attention_pallas import (
+    diag_matvec,
+    diag_sddmm,
+    diag_spmm_t,
+    windowed_attention,
+)
 
 __all__ = [
     "aggregate",
@@ -12,4 +18,8 @@ __all__ = [
     "aggregate_block_tiles_reference",
     "aggregate_dense",
     "aggregate_segment",
+    "diag_matvec",
+    "diag_sddmm",
+    "diag_spmm_t",
+    "windowed_attention",
 ]

@@ -1,0 +1,486 @@
+"""Pallas TPU SDDMM / transpose-SpMM / windowed graph attention.
+
+Completes the kernel family promised by the build plan (SURVEY §7.1 "Pallas
+SpMM/SDDMM kernels") and adds the attention model family the reference lacks
+(GCNConv only, models_gnn.py:118-184). All three operators ride the
+diagonal-window superblock layout (:class:`gwen_tpu.graph.graph.
+DiagWindowGraph` — KD-patch ordering, window-relative storage):
+
+* :func:`diag_sddmm` — sampled dense-dense matmul: per destination block,
+  ``scores = Q_block @ K_window^T`` → the ``(N_pad, W)`` window-relative
+  score tile. Same double-buffered union-window DMA as the v6 SpMM kernel;
+  one MXU matmul per sub-block with the RHS contracted on the feature axis.
+* :func:`diag_spmm_t` — transpose aggregation ``out[j] = Σ_i S[i, j−w_i]
+  g[i]``. Window starts are block-aligned and the window is a block
+  multiple, so the transpose decomposes into full ``(block, block)`` tiles;
+  host-built coverage tables (:func:`gwen_tpu.graph.graph.
+  diag_transpose_tables`) list the covering tiles per *source* block and the
+  kernel accumulates ``S_tile^T @ g_tile`` over them (double-buffered tile
+  DMA). This is the missing VJP operand for *asymmetric* S — the GCN kernels
+  exploit global symmetry (bwd = fwd), attention weights are row-softmaxed
+  and never symmetric.
+* :func:`diag_matvec` — ``S @ X`` with a *differentiable, runtime* S
+  (the GCN path treats S as a constant graph table): forward reuses the v6
+  kernel, ``dS = diag_sddmm(g, X)``, ``dX = diag_spmm_t(S, g)``. Also the
+  building block for learned edge weights.
+* :func:`windowed_attention` — masked softmax attention over each node's
+  in-window neighbourhood: SDDMM → masked softmax on the ``(N_pad, W)``
+  score tile (plain XLA: the tile is dense, no segment ops) → ``P @ V``
+  via :func:`diag_matvec`. Out-of-window (escape) edges are *excluded by
+  definition* — this is windowed attention in the sliding-window-attention
+  sense (~98 % of mesh edges at the default window; the model, not an
+  approximation of another model).
+
+Numerics: scores and softmax are computed in f32 regardless of input dtype
+(bf16 inputs take bf16 MXU passes with f32 accumulation); ``P`` is cast back
+to the value dtype for the aggregation streams.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gwen_tpu.graph.graph import DiagWindowGraph
+from gwen_tpu.ops.spmm_pallas import _diag_impl, _interpret, _round_up
+
+Array = jnp.ndarray
+
+_F_CHUNK = 512  # feature-axis chunk cap (VMEM budget, matches spmm kernels)
+
+
+# --------------------------------------------------------------- SDDMM
+
+
+def _sddmm_kernel(window, buf, t_sb, num_super,
+                  off_ref, xb_ref, a_ref, k_hbm, out_ref, xbuf, sems):
+    """One grid step = one superblock: double-buffered DMA of the union
+    K-window, then ``t_sb`` MXU matmuls ``A_block @ K_win^T`` (contraction
+    on the feature axis)."""
+    j = pl.program_id(0)
+    block = a_ref.shape[0] // t_sb
+
+    def dma(sb, slot):
+        base = pl.multiple_of(xb_ref[sb], block)
+        return pltpu.make_async_copy(
+            k_hbm.at[pl.ds(base, buf), :],
+            xbuf.at[pl.ds(slot * buf, buf), :],
+            sems.at[slot],
+        )
+
+    @pl.when(j == 0)
+    def _():
+        dma(0, 0).start()
+        if num_super > 1:
+            dma(jnp.int32(1), 1).start()
+
+    slot = jax.lax.rem(j, 2)
+    dma(j, slot).wait()
+
+    prec = jax.lax.Precision.HIGHEST if xbuf.dtype == jnp.float32 else None
+    for t in range(t_sb):
+        off = pl.multiple_of(off_ref[j * t_sb + t], block)
+        xw = xbuf[pl.ds(slot * buf + off, window), :]
+        a_t = a_ref[t * block:(t + 1) * block, :]
+        out_ref[t * block:(t + 1) * block, :] = jax.lax.dot_general(
+            a_t, xw, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(out_ref.dtype)
+
+    @pl.when(j + 2 < num_super)
+    def _():
+        dma(jnp.minimum(j + 2, num_super - 1), slot).start()
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _sddmm_impl(off, xbase, a_pad, k_pad, block, window, t_sb):
+    n_pad = a_pad.shape[0]
+    f_pad = a_pad.shape[1]
+    num_super = n_pad // (block * t_sb)
+    buf = window + (t_sb - 1) * block
+
+    idx = lambda j, *_: (j, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_super,),
+        in_specs=[
+            pl.BlockSpec((block * t_sb, f_pad), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((block * t_sb, window), idx,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * buf, f_pad), k_pad.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_sddmm_kernel, window, buf, t_sb, num_super)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, window), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * window * f_pad,
+            bytes_accessed=2 * k_pad.size * k_pad.dtype.itemsize
+            + a_pad.size * a_pad.dtype.itemsize
+            + n_pad * window * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(off, xbase, a_pad, k_pad)
+
+
+def _sddmm_chunked(off, xbase, a_pad, k_pad, block, window, t_sb):
+    """Accumulate SDDMM over feature-axis chunks (contraction axis)."""
+    f_pad = a_pad.shape[1]
+    out = None
+    for c0 in range(0, f_pad, _F_CHUNK):
+        wc = min(_F_CHUNK, f_pad - c0)
+        part = _sddmm_impl(off, xbase, a_pad[:, c0:c0 + wc],
+                           k_pad[:, c0:c0 + wc], block, window, t_sb)
+        out = part if out is None else out + part
+    return out
+
+
+# ----------------------------------------------------- transpose SpMM
+
+
+def _spmm_t_kernel(m_max, ns_blocks,
+                   trow_ref, tcol_ref, tcnt_ref, s_hbm, g_hbm,
+                   out_ref, sbuf, gbuf, acc, sems):
+    """One grid step = one *source* block: accumulate ``S_tile^T @ g_tile``
+    over the covering (dest sub-block, window column) tiles, with
+    double-buffered (block, block) S-tile + (block, F) g-tile DMAs."""
+    c = pl.program_id(0)
+    block = out_ref.shape[0]
+
+    def sdma(m, slot):
+        r0 = pl.multiple_of(trow_ref[c, m], block)
+        c0 = pl.multiple_of(tcol_ref[c, m], block)
+        return pltpu.make_async_copy(
+            s_hbm.at[pl.ds(r0, block), pl.ds(c0, block)],
+            sbuf.at[pl.ds(slot * block, block), :],
+            sems.at[slot, 0],
+        )
+
+    def gdma(m, slot):
+        r0 = pl.multiple_of(trow_ref[c, m], block)
+        return pltpu.make_async_copy(
+            g_hbm.at[pl.ds(r0, block), :],
+            gbuf.at[pl.ds(slot * block, block), :],
+            sems.at[slot, 1],
+        )
+
+    def start(m, slot):
+        @pl.when(m < tcnt_ref[c])
+        def _():
+            sdma(m, slot).start()
+            gdma(m, slot).start()
+
+    start(0, 0)
+    if m_max > 1:
+        start(jnp.int32(1), 1)
+    acc[:] = jnp.zeros_like(acc)
+
+    prec = jax.lax.Precision.HIGHEST if gbuf.dtype == jnp.float32 else None
+    for m in range(m_max):
+        slot = m % 2
+
+        @pl.when(m < tcnt_ref[c])
+        def _(m=m, slot=slot):
+            sdma(m, slot).wait()
+            gdma(m, slot).wait()
+            s_t = sbuf[slot * block:(slot + 1) * block, :]
+            g_t = gbuf[slot * block:(slot + 1) * block, :]
+            acc[:] += jax.lax.dot_general(
+                s_t, g_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            # Refill this slot only after its tiles were consumed.
+            if m + 2 < m_max:
+                start(jnp.int32(m + 2), slot)
+
+    out_ref[:] = acc[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _spmm_t_impl(trow, tcol, tcnt, s_mat, g_pad, block, m_max):
+    ns_blocks = trow.shape[0]
+    f_pad = g_pad.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ns_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # S stays in HBM; tiles DMA'd
+            pl.BlockSpec(memory_space=pl.ANY),  # g likewise
+        ],
+        out_specs=pl.BlockSpec((block, f_pad), lambda c, *_: (c, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * block, block), s_mat.dtype),
+            pltpu.VMEM((2 * block, f_pad), g_pad.dtype),
+            pltpu.VMEM((block, f_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(_spmm_t_kernel, m_max, ns_blocks)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ns_blocks * block, f_pad),
+                                       g_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ns_blocks * block * m_max * block * f_pad,
+            bytes_accessed=s_mat.size * s_mat.dtype.itemsize
+            + m_max * g_pad.size * g_pad.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(trow, tcol, tcnt, s_mat, g_pad)
+
+
+def _spmm_t_chunked(trow, tcol, tcnt, s_mat, g_pad, block, m_max):
+    f_pad = g_pad.shape[1]
+    outs = []
+    for c0 in range(0, f_pad, _F_CHUNK):
+        wc = min(_F_CHUNK, f_pad - c0)
+        outs.append(_spmm_t_impl(trow, tcol, tcnt, s_mat,
+                                 g_pad[:, c0:c0 + wc], block, m_max))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
+# ----------------------------------------- differentiable S @ X (matvec)
+
+
+def _matvec_impl(off, xbase, s_mat, x_pad, block, window, t_sb):
+    f_pad = x_pad.shape[1]
+    outs = []
+    for c0 in range(0, f_pad, _F_CHUNK):
+        wc = min(_F_CHUNK, f_pad - c0)
+        outs.append(_diag_impl(off, xbase, None, s_mat, None, None,
+                               x_pad[:, c0:c0 + wc], block, window, t_sb, 0))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _matvec_diff(off, xbase, trow, tcol, tcnt, s_mat, x_pad,
+                 block, window, t_sb, m_max):
+    return _matvec_impl(off, xbase, s_mat, x_pad, block, window, t_sb)
+
+
+def _matvec_fwd(off, xbase, trow, tcol, tcnt, s_mat, x_pad,
+                block, window, t_sb, m_max):
+    out = _matvec_impl(off, xbase, s_mat, x_pad, block, window, t_sb)
+    return out, (off, xbase, trow, tcol, tcnt, s_mat, x_pad)
+
+
+def _matvec_bwd(block, window, t_sb, m_max, res, g):
+    off, xbase, trow, tcol, tcnt, s_mat, x_pad = res
+    g = g.astype(x_pad.dtype)
+    ds = _sddmm_chunked(off, xbase, g, x_pad, block, window, t_sb)
+    dx = _spmm_t_chunked(trow, tcol, tcnt, s_mat, g, block, m_max)
+    return (None, None, None, None, None,
+            ds.astype(s_mat.dtype), dx.astype(x_pad.dtype))
+
+
+_matvec_diff.defvjp(_matvec_fwd, _matvec_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _sddmm_diff(off, xbase, trow, tcol, tcnt, a_pad, k_pad,
+                block, window, t_sb, m_max):
+    return _sddmm_chunked(off, xbase, a_pad, k_pad, block, window, t_sb)
+
+
+def _sddmm_fwd(off, xbase, trow, tcol, tcnt, a_pad, k_pad,
+               block, window, t_sb, m_max):
+    out = _sddmm_chunked(off, xbase, a_pad, k_pad, block, window, t_sb)
+    return out, (off, xbase, trow, tcol, tcnt, a_pad, k_pad)
+
+
+def _sddmm_bwd(block, window, t_sb, m_max, res, g):
+    off, xbase, trow, tcol, tcnt, a_pad, k_pad = res
+    gs = g.astype(k_pad.dtype)
+    da = _matvec_impl(off, xbase, gs, k_pad, block, window, t_sb)
+    dk = _spmm_t_chunked(trow, tcol, tcnt, gs, a_pad, block, m_max)
+    return (None, None, None, None, None,
+            da.astype(a_pad.dtype), dk.astype(k_pad.dtype))
+
+
+_sddmm_diff.defvjp(_sddmm_fwd, _sddmm_bwd)
+
+
+# ------------------------------------------------------------ public API
+
+
+def _require_tables(graph: DiagWindowGraph, who: str) -> None:
+    if not isinstance(graph, DiagWindowGraph):
+        raise TypeError(f"{who} needs a DiagWindowGraph, got "
+                        f"{type(graph).__name__}")
+    if graph.t_max == 0:
+        raise ValueError(
+            f"{who} needs transpose tables — build the graph with "
+            "to_diag_window(..., transpose_tables=True) or wrap it with "
+            "diag_transpose_tables(graph)"
+        )
+
+
+def _pad_rows(x: Array, rows: int, f_pad: int) -> Array:
+    n, f = x.shape
+    out = jnp.zeros((rows, f_pad), x.dtype)
+    return out.at[: min(n, rows), :f].set(x[: min(n, rows)])
+
+
+def diag_sddmm(graph: DiagWindowGraph, a: Array, b: Array) -> Array:
+    """Window-relative score tile ``out[i, j] = a[i] · b[w_i + j]`` (f32),
+    shape ``(num_padded_nodes, window)``. ``a`` is indexed by destination
+    row, ``b`` by source row."""
+    _require_tables(graph, "diag_sddmm")
+    f = a.shape[-1]
+    f_pad = _round_up(f, 128)
+    ap = _pad_rows(a, graph.num_padded_nodes, f_pad)
+    bp = _pad_rows(b, graph.num_src_rows, f_pad)
+    return _sddmm_diff(graph.offsets, graph.xbase, graph.t_rows,
+                       graph.t_cols, graph.t_cnt, ap, bp,
+                       graph.block_size, graph.window_size,
+                       graph.superblock, graph.t_max)
+
+
+def diag_spmm_t(graph: DiagWindowGraph, s: Array, g: Array) -> Array:
+    """Transpose aggregation ``out[j] = Σ_i s[i, j − w_i] · g[i]`` over the
+    window-relative tile ``s`` — the adjoint of :func:`diag_matvec` in S."""
+    _require_tables(graph, "diag_spmm_t")
+    f = g.shape[-1]
+    f_pad = _round_up(f, 128)
+    gp = _pad_rows(g, graph.num_padded_nodes, f_pad)
+    out = _spmm_t_chunked(graph.t_rows, graph.t_cols, graph.t_cnt,
+                          s.astype(g.dtype), gp, graph.block_size,
+                          graph.t_max)
+    return out[: graph.num_src_rows, :f]
+
+
+def diag_matvec(graph: DiagWindowGraph, s: Array, x: Array) -> Array:
+    """``S @ X`` with a runtime, *differentiable* window-relative ``s``
+    (``(num_padded_nodes, window)``) — unlike the aggregation kernels, whose
+    S is a constant graph table with a symmetry-based VJP. ``dS`` is an
+    SDDMM of the cotangent with ``x``; ``dX`` is the transpose kernel."""
+    _require_tables(graph, "diag_matvec")
+    n, f = x.shape[-2], x.shape[-1]
+    f_pad = _round_up(f, 128)
+    xp = _pad_rows(x, graph.num_src_rows, f_pad)
+    out = _matvec_diff(graph.offsets, graph.xbase, graph.t_rows,
+                       graph.t_cols, graph.t_cnt, s, xp,
+                       graph.block_size, graph.window_size,
+                       graph.superblock, graph.t_max)
+    return out[: graph.num_nodes, :f]
+
+
+# ------------------------------------------------------- jnp references
+
+
+def diag_sddmm_reference(graph: DiagWindowGraph, a: Array, b: Array) -> Array:
+    """jnp reference for :func:`diag_sddmm` (CPU tests / golden)."""
+    f = a.shape[-1]
+    ap = _pad_rows(a, graph.num_padded_nodes, f)
+    bp = _pad_rows(b, graph.num_src_rows, f)
+    bs, w = graph.block_size, graph.window_size
+    outs = []
+    for blk in range(graph.num_blocks):
+        start = graph.xbase[blk // graph.superblock] + graph.offsets[blk]
+        win = jax.lax.dynamic_slice_in_dim(bp, start, w, axis=0)
+        a_t = ap[blk * bs:(blk + 1) * bs]
+        outs.append(jnp.einsum("bf,wf->bw", a_t.astype(jnp.float32),
+                               win.astype(jnp.float32)))
+    return jnp.concatenate(outs, axis=0)
+
+
+def diag_spmm_t_reference(graph: DiagWindowGraph, s: Array, g: Array) -> Array:
+    """jnp reference for :func:`diag_spmm_t`."""
+    f = g.shape[-1]
+    gp = _pad_rows(g, graph.num_padded_nodes, f)
+    bs, w = graph.block_size, graph.window_size
+    out = jnp.zeros((graph.num_src_rows, f), g.dtype)
+    for blk in range(graph.num_blocks):
+        start = graph.xbase[blk // graph.superblock] + graph.offsets[blk]
+        s_t = s[blk * bs:(blk + 1) * bs].astype(jnp.float32)
+        g_t = gp[blk * bs:(blk + 1) * bs].astype(jnp.float32)
+        add = jnp.einsum("bw,bf->wf", s_t, g_t)
+        cur = jax.lax.dynamic_slice_in_dim(out, start, w, axis=0)
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, cur + add.astype(g.dtype), start, axis=0)
+    return out
+
+
+def diag_matvec_reference(graph: DiagWindowGraph, s: Array, x: Array) -> Array:
+    """jnp reference for :func:`diag_matvec` (differentiable in ``s``/``x``)."""
+    n, f = x.shape[-2], x.shape[-1]
+    xp = _pad_rows(x, graph.num_src_rows, f)
+    bs, w = graph.block_size, graph.window_size
+    outs = []
+    for blk in range(graph.num_blocks):
+        start = graph.xbase[blk // graph.superblock] + graph.offsets[blk]
+        win = jax.lax.dynamic_slice_in_dim(xp, start, w, axis=0)
+        outs.append(s[blk * bs:(blk + 1) * bs].astype(x.dtype) @ win)
+    return jnp.concatenate(outs, axis=0)[: graph.num_nodes, :f]
+
+
+# -------------------------------------------------- windowed attention
+
+
+def windowed_attention(graph: DiagWindowGraph, q: Array, k: Array, v: Array,
+                       *, scale: "float | None" = None,
+                       backend: str = "auto") -> Array:
+    """Masked softmax attention over each node's in-window neighbourhood.
+
+    ``out[i] = Σ_j P[i, j] v[j]`` with ``P = softmax_j(q[i]·k[j]·scale)``
+    over the graph neighbours ``j`` of ``i`` that fall inside ``i``'s
+    diagonal window (the mask is ``graph.s_mat != 0`` — structure only, the
+    GCN weights are ignored). Out-of-window escape edges (~2 % at the
+    default window on KD-ordered meshes) are excluded by definition —
+    windowed attention in the sliding-window-attention sense.
+
+    Fully differentiable in ``q``/``k``/``v``; scores and softmax run in
+    f32. ``backend="reference"`` swaps the Pallas primitives for the jnp
+    loops (CPU-mesh paths and golden tests).
+    """
+    if backend in ("auto", "pallas"):
+        _require_tables(graph, "windowed_attention")
+    leading = q.shape[:-2]
+    if leading:
+        qb = q.reshape((-1,) + q.shape[-2:])
+        kb = k.reshape((-1,) + k.shape[-2:])
+        vb = v.reshape((-1,) + v.shape[-2:])
+        out = jnp.stack([
+            windowed_attention(graph, qb[b], kb[b], vb[b], scale=scale,
+                               backend=backend)
+            for b in range(qb.shape[0])
+        ])
+        return out.reshape(leading + out.shape[-2:])
+
+    n, f = q.shape
+    if scale is None:
+        scale = 1.0 / (f ** 0.5)
+
+    if backend == "reference":
+        scores = diag_sddmm_reference(graph, q, k)
+    else:
+        scores = diag_sddmm(graph, q, k)
+    scores = scores * jnp.float32(scale)
+
+    mask = graph.s_mat != 0  # structure: real edges carry nonzero GCN weight
+    logits = jnp.where(mask, scores, jnp.float32(-1e30))
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - mx) * mask
+    den = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / jnp.where(den == 0, 1.0, den)).astype(v.dtype)
+
+    if backend == "reference":
+        out = diag_matvec_reference(graph, p, v)
+    else:
+        out = diag_matvec(graph, p, v)
+    return out[:n, :f]

@@ -114,3 +114,18 @@ def test_cli_mesh_data_roundtrip(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(out["best_train_loss"])
     assert out["nodes"] == 162  # 10*4^2+2
+
+
+def test_cli_train_mesh_attention(tmp_path, capsys):
+    """train-mesh with the windowed graph-attention processor (CPU)."""
+    assert cli(["make-mesh-data", "--out", str(tmp_path / "m.zarr"),
+                "--members", "2", "--steps", "4", "graph.refine=2"]) == 0
+    capsys.readouterr()
+    assert cli(["train-mesh", "--data", str(tmp_path / "m.zarr"),
+                "model.latent_size=8", "model.processor=attention",
+                "model.attn_heads=2", "model.process_steps=1",
+                "mesh.diag_window=128",
+                "train.epochs=1", "train.batch_size=2", "train.lr=1e-3",
+                f"run.registry_root={tmp_path / 'runs'}"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["best_train_loss"])
