@@ -710,14 +710,17 @@ class DiagWindowGraph:
     esc2_graph: Optional["SlidingDenseGraph"] = None  # banded Ŝ in c2-space
     esc2_src: Optional[Array] = None  # (U,) int32 — node row per c2 row
     esc2_back: Optional[Array] = None  # (U_pad,) int32 — c2 row per fix row
-    # Transpose coverage tables (:func:`diag_transpose_tables`): for each
-    # 128-row *source* block, the (dest-row start, window-column start)
-    # pairs of every sub-block whose window covers it. Consumed by the
-    # transpose kernel (``gwen_tpu.ops.attention_pallas.diag_spmm_t``)
-    # behind differentiable-S aggregation and windowed-attention backward.
-    t_rows: Optional[Array] = None  # (num_src_blocks, t_max) int32
-    t_cols: Optional[Array] = None  # (num_src_blocks, t_max) int32
-    t_cnt: Optional[Array] = None  # (num_src_blocks,) int32
+    # Transpose coverage tables (:func:`diag_transpose_tables`): window
+    # starts are monotonic, so the destination sub-blocks covering each
+    # 128-row *source* block form a contiguous range [t_lo, t_lo + cnt);
+    # the kernel recomputes each tile's row/column from ``offsets``/
+    # ``xbase`` (already prefetched). O(num_src_blocks) SMEM — a 2-D
+    # (num_src_blocks, t_max) table pads each row to 512 B in SMEM and
+    # blows the 1 MB budget at L7+. Consumed by the transpose kernel
+    # (``gwen_tpu.ops.attention_pallas.diag_spmm_t``) behind
+    # differentiable-S aggregation and windowed-attention backward.
+    t_lo: Optional[Array] = None  # (num_src_blocks,) int32 — first sub-block
+    t_cnt: Optional[Array] = None  # (num_src_blocks,) int32 — range length
     t_max: int = struct.field(pytree_node=False, default=0)
 
     @property
@@ -921,11 +924,13 @@ def diag_transpose_tables(graph: DiagWindowGraph) -> DiagWindowGraph:
 
     The transpose of the diagonal-window operator maps each *source* block
     to the set of destination sub-blocks whose windows cover it. Window
-    starts are block-aligned and the window is a block multiple, so every
-    (sub-block, source-block) overlap is a full ``(block, block)`` tile:
-    the tables list, per source block, the destination-row start and the
-    window-column start of each covering tile (padded to the max count
-    ``t_max``; real count in ``t_cnt``). Consumed by
+    starts are block-aligned, monotonic, and the window is a block
+    multiple, so (a) every (sub-block, source-block) overlap is a full
+    ``(block, block)`` tile, and (b) the covering sub-blocks of source
+    block ``c`` are the contiguous range ``[t_lo[c], t_lo[c] + t_cnt[c])``
+    — the kernel recomputes each tile's destination row (``j·block``) and
+    window column (``c·block − start_j``) from the prefetched
+    ``offsets``/``xbase``. Consumed by
     :func:`gwen_tpu.ops.attention_pallas.diag_spmm_t` — the backward
     operator for differentiable edge weights and windowed attention.
     """
@@ -939,23 +944,19 @@ def diag_transpose_tables(graph: DiagWindowGraph) -> DiagWindowGraph:
     xbase = np.asarray(graph.xbase, dtype=np.int64)
     offsets = np.asarray(graph.offsets, dtype=np.int64)
     starts = xbase[np.arange(offsets.size) // t_sb] + offsets
+    if (np.diff(starts) < 0).any():
+        raise AssertionError("diag-window starts are not monotonic")
     ns_blocks = graph.num_src_rows // block
-    wb = W // block
-    lists: list[list[tuple[int, int]]] = [[] for _ in range(ns_blocks)]
-    for j, st in enumerate(starts.tolist()):
-        c0 = st // block
-        for kk in range(wb):
-            lists[c0 + kk].append((j * block, kk * block))
-    t_max = max(1, max(len(lst) for lst in lists))
-    t_rows = np.zeros((ns_blocks, t_max), np.int32)
-    t_cols = np.zeros((ns_blocks, t_max), np.int32)
-    t_cnt = np.asarray([len(lst) for lst in lists], np.int32)
-    for c, lst in enumerate(lists):
-        for m, (r0, c0) in enumerate(lst):
-            t_rows[c, m] = r0
-            t_cols[c, m] = c0
-    return graph.replace(t_rows=t_rows, t_cols=t_cols, t_cnt=t_cnt,
-                         t_max=int(t_max))
+    c_rows = np.arange(ns_blocks, dtype=np.int64) * block
+    # j covers c iff start_j ≤ c·block < start_j + W; starts nondecreasing
+    # ⇒ the j-set is [first j with start_j > c·block − W, first j with
+    # start_j > c·block).
+    t_lo = np.searchsorted(starts, c_rows - W, side="right")
+    t_hi = np.searchsorted(starts, c_rows, side="right")
+    t_cnt = (t_hi - t_lo).astype(np.int32)
+    t_max = int(max(1, t_cnt.max()))
+    return graph.replace(t_lo=t_lo.astype(np.int32), t_cnt=t_cnt,
+                         t_max=t_max)
 
 
 def _sliding_monotonic(

@@ -149,18 +149,28 @@ def _sddmm_chunked(off, xbase, a_pad, k_pad, block, window, t_sb):
 # ----------------------------------------------------- transpose SpMM
 
 
-def _spmm_t_kernel(m_max, ns_blocks,
-                   trow_ref, tcol_ref, tcnt_ref, s_hbm, g_hbm,
+def _spmm_t_kernel(m_max, t_sb,
+                   tlo_ref, tcnt_ref, off_ref, xb_ref, s_hbm, g_hbm,
                    out_ref, sbuf, gbuf, acc, sems):
     """One grid step = one *source* block: accumulate ``S_tile^T @ g_tile``
-    over the covering (dest sub-block, window column) tiles, with
-    double-buffered (block, block) S-tile + (block, F) g-tile DMAs."""
+    over the covering destination sub-blocks (a contiguous range — window
+    starts are monotonic), with double-buffered (block, block) S-tile +
+    (block, F) g-tile DMAs. Tile coordinates are recomputed from the
+    prefetched offsets/xbase: row = j·block, column = c·block − start_j —
+    keeping SMEM at O(num_src_blocks) (a 2-D per-(c, m) table pads each
+    row to 512 B and exceeds SMEM at L7+)."""
     c = pl.program_id(0)
     block = out_ref.shape[0]
 
+    def _rc(m):
+        j = tlo_ref[c] + m
+        start = xb_ref[j // t_sb] + off_ref[j]
+        r0 = pl.multiple_of(j * block, block)
+        c0 = pl.multiple_of(c * block - start, block)
+        return r0, c0
+
     def sdma(m, slot):
-        r0 = pl.multiple_of(trow_ref[c, m], block)
-        c0 = pl.multiple_of(tcol_ref[c, m], block)
+        r0, c0 = _rc(m)
         return pltpu.make_async_copy(
             s_hbm.at[pl.ds(r0, block), pl.ds(c0, block)],
             sbuf.at[pl.ds(slot * block, block), :],
@@ -168,7 +178,7 @@ def _spmm_t_kernel(m_max, ns_blocks,
         )
 
     def gdma(m, slot):
-        r0 = pl.multiple_of(trow_ref[c, m], block)
+        r0, _ = _rc(m)
         return pltpu.make_async_copy(
             g_hbm.at[pl.ds(r0, block), :],
             gbuf.at[pl.ds(slot * block, block), :],
@@ -207,13 +217,13 @@ def _spmm_t_kernel(m_max, ns_blocks,
     out_ref[:] = acc[:].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6))
-def _spmm_t_impl(trow, tcol, tcnt, s_mat, g_pad, block, m_max):
-    ns_blocks = trow.shape[0]
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def _spmm_t_impl(t_lo, t_cnt, off, xbase, s_mat, g_pad, block, t_sb, m_max):
+    ns_blocks = t_lo.shape[0]
     f_pad = g_pad.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(ns_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # S stays in HBM; tiles DMA'd
@@ -228,7 +238,7 @@ def _spmm_t_impl(trow, tcol, tcnt, s_mat, g_pad, block, m_max):
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
-    kernel = functools.partial(_spmm_t_kernel, m_max, ns_blocks)
+    kernel = functools.partial(_spmm_t_kernel, m_max, t_sb)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -241,16 +251,17 @@ def _spmm_t_impl(trow, tcol, tcnt, s_mat, g_pad, block, m_max):
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(trow, tcol, tcnt, s_mat, g_pad)
+    )(t_lo, t_cnt, off, xbase, s_mat, g_pad)
 
 
-def _spmm_t_chunked(trow, tcol, tcnt, s_mat, g_pad, block, m_max):
+def _spmm_t_chunked(t_lo, t_cnt, off, xbase, s_mat, g_pad, block, t_sb,
+                    m_max):
     f_pad = g_pad.shape[1]
     outs = []
     for c0 in range(0, f_pad, _F_CHUNK):
         wc = min(_F_CHUNK, f_pad - c0)
-        outs.append(_spmm_t_impl(trow, tcol, tcnt, s_mat,
-                                 g_pad[:, c0:c0 + wc], block, m_max))
+        outs.append(_spmm_t_impl(t_lo, t_cnt, off, xbase, s_mat,
+                                 g_pad[:, c0:c0 + wc], block, t_sb, m_max))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
@@ -267,48 +278,50 @@ def _matvec_impl(off, xbase, s_mat, x_pad, block, window, t_sb):
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _matvec_diff(off, xbase, trow, tcol, tcnt, s_mat, x_pad,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _matvec_diff(off, xbase, t_lo, t_cnt, s_mat, x_pad,
                  block, window, t_sb, m_max):
     return _matvec_impl(off, xbase, s_mat, x_pad, block, window, t_sb)
 
 
-def _matvec_fwd(off, xbase, trow, tcol, tcnt, s_mat, x_pad,
+def _matvec_fwd(off, xbase, t_lo, t_cnt, s_mat, x_pad,
                 block, window, t_sb, m_max):
     out = _matvec_impl(off, xbase, s_mat, x_pad, block, window, t_sb)
-    return out, (off, xbase, trow, tcol, tcnt, s_mat, x_pad)
+    return out, (off, xbase, t_lo, t_cnt, s_mat, x_pad)
 
 
 def _matvec_bwd(block, window, t_sb, m_max, res, g):
-    off, xbase, trow, tcol, tcnt, s_mat, x_pad = res
+    off, xbase, t_lo, t_cnt, s_mat, x_pad = res
     g = g.astype(x_pad.dtype)
     ds = _sddmm_chunked(off, xbase, g, x_pad, block, window, t_sb)
-    dx = _spmm_t_chunked(trow, tcol, tcnt, s_mat, g, block, m_max)
-    return (None, None, None, None, None,
+    dx = _spmm_t_chunked(t_lo, t_cnt, off, xbase, s_mat, g, block, t_sb,
+                         m_max)
+    return (None, None, None, None,
             ds.astype(s_mat.dtype), dx.astype(x_pad.dtype))
 
 
 _matvec_diff.defvjp(_matvec_fwd, _matvec_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _sddmm_diff(off, xbase, trow, tcol, tcnt, a_pad, k_pad,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _sddmm_diff(off, xbase, t_lo, t_cnt, a_pad, k_pad,
                 block, window, t_sb, m_max):
     return _sddmm_chunked(off, xbase, a_pad, k_pad, block, window, t_sb)
 
 
-def _sddmm_fwd(off, xbase, trow, tcol, tcnt, a_pad, k_pad,
+def _sddmm_fwd(off, xbase, t_lo, t_cnt, a_pad, k_pad,
                block, window, t_sb, m_max):
     out = _sddmm_chunked(off, xbase, a_pad, k_pad, block, window, t_sb)
-    return out, (off, xbase, trow, tcol, tcnt, a_pad, k_pad)
+    return out, (off, xbase, t_lo, t_cnt, a_pad, k_pad)
 
 
 def _sddmm_bwd(block, window, t_sb, m_max, res, g):
-    off, xbase, trow, tcol, tcnt, a_pad, k_pad = res
+    off, xbase, t_lo, t_cnt, a_pad, k_pad = res
     gs = g.astype(k_pad.dtype)
     da = _matvec_impl(off, xbase, gs, k_pad, block, window, t_sb)
-    dk = _spmm_t_chunked(trow, tcol, tcnt, gs, a_pad, block, m_max)
-    return (None, None, None, None, None,
+    dk = _spmm_t_chunked(t_lo, t_cnt, off, xbase, gs, a_pad, block, t_sb,
+                         m_max)
+    return (None, None, None, None,
             da.astype(a_pad.dtype), dk.astype(k_pad.dtype))
 
 
@@ -345,9 +358,8 @@ def diag_sddmm(graph: DiagWindowGraph, a: Array, b: Array) -> Array:
     f_pad = _round_up(f, 128)
     ap = _pad_rows(a, graph.num_padded_nodes, f_pad)
     bp = _pad_rows(b, graph.num_src_rows, f_pad)
-    return _sddmm_diff(graph.offsets, graph.xbase, graph.t_rows,
-                       graph.t_cols, graph.t_cnt, ap, bp,
-                       graph.block_size, graph.window_size,
+    return _sddmm_diff(graph.offsets, graph.xbase, graph.t_lo, graph.t_cnt,
+                       ap, bp, graph.block_size, graph.window_size,
                        graph.superblock, graph.t_max)
 
 
@@ -358,9 +370,9 @@ def diag_spmm_t(graph: DiagWindowGraph, s: Array, g: Array) -> Array:
     f = g.shape[-1]
     f_pad = _round_up(f, 128)
     gp = _pad_rows(g, graph.num_padded_nodes, f_pad)
-    out = _spmm_t_chunked(graph.t_rows, graph.t_cols, graph.t_cnt,
-                          s.astype(g.dtype), gp, graph.block_size,
-                          graph.t_max)
+    out = _spmm_t_chunked(graph.t_lo, graph.t_cnt, graph.offsets,
+                          graph.xbase, s.astype(g.dtype), gp,
+                          graph.block_size, graph.superblock, graph.t_max)
     return out[: graph.num_src_rows, :f]
 
 
@@ -373,9 +385,8 @@ def diag_matvec(graph: DiagWindowGraph, s: Array, x: Array) -> Array:
     n, f = x.shape[-2], x.shape[-1]
     f_pad = _round_up(f, 128)
     xp = _pad_rows(x, graph.num_src_rows, f_pad)
-    out = _matvec_diff(graph.offsets, graph.xbase, graph.t_rows,
-                       graph.t_cols, graph.t_cnt, s, xp,
-                       graph.block_size, graph.window_size,
+    out = _matvec_diff(graph.offsets, graph.xbase, graph.t_lo, graph.t_cnt,
+                       s, xp, graph.block_size, graph.window_size,
                        graph.superblock, graph.t_max)
     return out[: graph.num_nodes, :f]
 

@@ -51,17 +51,22 @@ def _dense_from_layout(dw):
 def test_transpose_tables_cover_layout():
     _, dw, _ = _diag_graph()
     assert dw.t_max > 0
-    # Every (block, window-column-block) tile appears exactly once.
+    # Every (dest block, source block) tile appears exactly once; column
+    # offsets recomputed as the kernel does stay inside the window.
     bs, w = dw.block_size, dw.window_size
+    starts = [int(dw.xbase[b // dw.superblock]) + int(dw.offsets[b])
+              for b in range(dw.num_blocks)]
     seen = set()
-    for c in range(dw.t_rows.shape[0]):
+    for c in range(dw.t_lo.shape[0]):
         for m in range(int(dw.t_cnt[c])):
-            seen.add((int(dw.t_rows[c, m]), c * bs, int(dw.t_cols[c, m])))
+            j = int(dw.t_lo[c]) + m
+            col = c * bs - starts[j]
+            assert 0 <= col <= w - bs
+            seen.add((j * bs, c * bs, col))
     expect = set()
     for blk in range(dw.num_blocks):
-        start = int(dw.xbase[blk // dw.superblock]) + int(dw.offsets[blk])
         for kk in range(w // bs):
-            expect.add((blk * bs, start + kk * bs, kk * bs))
+            expect.add((blk * bs, starts[blk] + kk * bs, kk * bs))
     assert seen == expect
 
 
