@@ -57,6 +57,22 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--data", default="",
                            help="mesh-ensemble zarr store (default: synthetic)")
 
+    exp = sub.add_parser("export")
+    _add_common(exp)
+    exp.add_argument("--out", required=True, help="artifact directory")
+    exp.add_argument("--data", default="",
+                     help="mesh zarr for graph rebuild (default: icosphere "
+                          "from the run's levels)")
+    exp.add_argument("--experiment", default="",
+                     help="registry experiment (default: <run.experiment>_MESH)")
+
+    prd = sub.add_parser("predict")
+    prd.add_argument("--artifact", required=True, help="exported artifact dir")
+    prd.add_argument("--input", required=True,
+                     help=".npy initial state (nodes, channels)")
+    prd.add_argument("--steps", type=int, default=1)
+    prd.add_argument("--out", default="predictions.npy")
+
     rns = sub.add_parser("runs")
     rns.add_argument("--experiment", default=None, help="default: all experiments")
     rns.add_argument("--root", default="runs")
@@ -105,6 +121,17 @@ def main(argv: list[str] | None = None) -> int:
         )
         path = save_mesh_dataset(args.out, fields, s, r, verts)
         print(json.dumps({"path": str(path), "fields": list(fields.shape)}))
+    elif args.cmd == "export":
+        from gwen_tpu.cli.export_cli import export_main
+
+        out = export_main(_cfg(args), out=args.out, data=args.data,
+                          experiment=args.experiment)
+        print(json.dumps(out))
+    elif args.cmd == "predict":
+        from gwen_tpu.cli.export_cli import predict_main
+
+        out = predict_main(args.artifact, args.input, args.steps, args.out)
+        print(json.dumps(out))
     elif args.cmd == "bench":
         import runpy
         from pathlib import Path
