@@ -146,6 +146,26 @@ def main() -> None:
             agg = spmm_block_ell
             window = pg.window_size
             s_bytes = int(pg.nbr.size * (4 + 4))
+        elif name == "attn":
+            # Fused windowed attention (q = k = v = the carried state) —
+            # not an aggregation layout, but the shootout's honest timer
+            # and mesh cache make this the right home for its number.
+            from gwen_tpu.graph import diag_transpose_tables
+            from gwen_tpu.ops.attention_pallas import windowed_attention
+
+            w, sb = (int(parts[1]), int(parts[2])) if len(parts) > 2 else (384, 8)
+            pg = to_diag_window(
+                g, window_size=w, superblock=sb, dtype=dtype,
+                device_build=True,
+            )
+            pg = diag_transpose_tables(pg)
+
+            def agg(graph, c):
+                return windowed_attention(graph, c, c, c)
+
+            window = pg.window_size
+            escapes = pg.escape.num_edges if pg.escape is not None else 0
+            s_bytes = int(np.prod(pg.s_mat.shape)) * jnp.dtype(dtype).itemsize
         else:
             raise SystemExit(f"unknown layout spec {spec!r}")
 

@@ -440,6 +440,159 @@ def diag_matvec_reference(graph: DiagWindowGraph, s: Array, x: Array) -> Array:
     return jnp.concatenate(outs, axis=0)[: graph.num_nodes, :f]
 
 
+# ------------------------------------------- fused attention forward
+
+
+def _attn_fwd_kernel(window, buf, t_sb, num_super, scale,
+                     off_ref, xb_ref, q_ref, s_ref, k_hbm, v_hbm,
+                     out_ref, kbuf, vbuf, sems):
+    """Fully fused windowed-attention forward: per sub-block, one MXU
+    matmul for the scores (``Q_block @ K_win^T``), VPU masked softmax on
+    the (block, window) tile, and a second MXU matmul ``P @ V_win`` —
+    the probability tile never touches HBM. The union K/V windows ride
+    the same double-buffered superblock DMA as the v6 SpMM; the mask is
+    the streamed GCN S tile (``!= 0`` — structure only)."""
+    j = pl.program_id(0)
+    block = q_ref.shape[0] // t_sb
+
+    def dma(hbm, dst, sb, slot, k):
+        base = pl.multiple_of(xb_ref[sb], block)
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(base, buf), :],
+            dst.at[pl.ds(slot * buf, buf), :],
+            sems.at[slot, k],
+        )
+
+    def start(sb, slot):
+        dma(k_hbm, kbuf, sb, slot, 0).start()
+        dma(v_hbm, vbuf, sb, slot, 1).start()
+
+    @pl.when(j == 0)
+    def _():
+        start(0, 0)
+        if num_super > 1:
+            start(jnp.int32(1), 1)
+
+    slot = jax.lax.rem(j, 2)
+    dma(k_hbm, kbuf, j, slot, 0).wait()
+    dma(v_hbm, vbuf, j, slot, 1).wait()
+
+    prec = jax.lax.Precision.HIGHEST if kbuf.dtype == jnp.float32 else None
+    for t in range(t_sb):
+        off = pl.multiple_of(off_ref[j * t_sb + t], block)
+        kw = kbuf[pl.ds(slot * buf + off, window), :]
+        vw = vbuf[pl.ds(slot * buf + off, window), :]
+        q_t = q_ref[t * block:(t + 1) * block, :]
+        scores = jax.lax.dot_general(
+            q_t, kw, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * scale
+        mask = s_ref[t * block:(t + 1) * block, :] != 0
+        logits = jnp.where(mask, scores, jnp.float32(-1e30))
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - mx) * mask
+        den = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / jnp.where(den == 0, 1.0, den)
+        out_ref[t * block:(t + 1) * block, :] = jnp.dot(
+            p.astype(kbuf.dtype), vw,
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(out_ref.dtype)
+
+    @pl.when(j + 2 < num_super)
+    def _():
+        start(jnp.minimum(j + 2, num_super - 1), slot)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _attn_fwd_impl(off, xbase, q_pad, s_mat, k_pad, v_pad,
+                   block, window, t_sb, scale):
+    n_pad = q_pad.shape[0]
+    f_pad = q_pad.shape[1]
+    num_super = n_pad // (block * t_sb)
+    buf = window + (t_sb - 1) * block
+
+    idx = lambda j, *_: (j, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_super,),
+        in_specs=[
+            pl.BlockSpec((block * t_sb, f_pad), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block * t_sb, window), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((block * t_sb, f_pad), idx,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * buf, f_pad), k_pad.dtype),
+            pltpu.VMEM((2 * buf, f_pad), v_pad.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(_attn_fwd_kernel, window, buf, t_sb,
+                               num_super, scale)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, f_pad), v_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_pad * window * f_pad,
+            bytes_accessed=4 * k_pad.size * k_pad.dtype.itemsize
+            + s_mat.size * s_mat.dtype.itemsize
+            + 2 * n_pad * f_pad * q_pad.dtype.itemsize,
+            transcendentals=n_pad * window,
+        ),
+        interpret=_interpret(),
+    )(off, xbase, q_pad, s_mat, k_pad, v_pad)
+
+
+def _masked_softmax(s_mat, scores: Array) -> Array:
+    """Masked softmax over the window axis (f32 in, f32 out)."""
+    mask = s_mat != 0
+    logits = jnp.where(mask, scores, jnp.float32(-1e30))
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - mx) * mask
+    den = jnp.sum(p, axis=-1, keepdims=True)
+    return p / jnp.where(den == 0, 1.0, den)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _attn_fused_diff(off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp,
+                     block, window, t_sb, m_max, scale):
+    return _attn_fwd_impl(off, xbase, qp, s_mat, kp, vp,
+                          block, window, t_sb, scale)
+
+
+def _attn_fused_fwd(off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp,
+                    block, window, t_sb, m_max, scale):
+    out = _attn_fwd_impl(off, xbase, qp, s_mat, kp, vp,
+                         block, window, t_sb, scale)
+    return out, (off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp)
+
+
+def _attn_fused_bwd(block, window, t_sb, m_max, scale, res, g):
+    """Flash-style backward: recompute P (one SDDMM + softmax — cheaper
+    than storing the (N_pad, W) tile across fwd/bwd), then the standard
+    softmax-attention cotangents from the three diag primitives."""
+    off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp = res
+    g = g.astype(vp.dtype)
+    scores = _sddmm_chunked(off, xbase, qp, kp, block, window, t_sb)
+    p = _masked_softmax(s_mat, scores * jnp.float32(scale))
+    pc = p.astype(vp.dtype)
+    dv = _spmm_t_chunked(t_lo, t_cnt, off, xbase, pc, g, block, t_sb, m_max)
+    dp = _sddmm_chunked(off, xbase, g, vp, block, window, t_sb)
+    dl = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+          * jnp.float32(scale)).astype(qp.dtype)
+    dq = _matvec_impl(off, xbase, dl, kp, block, window, t_sb)
+    dk = _spmm_t_chunked(t_lo, t_cnt, off, xbase, dl, qp, block, t_sb,
+                         m_max)
+    return (None, None, None, None, None,
+            dq.astype(qp.dtype), dk.astype(kp.dtype), dv.astype(vp.dtype))
+
+
+_attn_fused_diff.defvjp(_attn_fused_fwd, _attn_fused_bwd)
+
+
 # -------------------------------------------------- windowed attention
 
 
@@ -456,10 +609,13 @@ def windowed_attention(graph: DiagWindowGraph, q: Array, k: Array, v: Array,
     windowed attention in the sliding-window-attention sense.
 
     Fully differentiable in ``q``/``k``/``v``; scores and softmax run in
-    f32. ``backend="reference"`` swaps the Pallas primitives for the jnp
-    loops (CPU-mesh paths and golden tests).
+    f32. Backends: ``"auto"``/``"pallas"`` — the fused forward kernel
+    (scores → masked softmax → ``P @ V`` in one pass; P never touches HBM;
+    flash-style recompute backward); ``"unfused"`` — the same math as three
+    kernel passes with XLA softmax in between (debug/bisect);
+    ``"reference"`` — jnp loops (CPU-mesh paths and golden tests).
     """
-    if backend in ("auto", "pallas"):
+    if backend != "reference":
         _require_tables(graph, "windowed_attention")
     leading = q.shape[:-2]
     if leading:
@@ -477,19 +633,23 @@ def windowed_attention(graph: DiagWindowGraph, q: Array, k: Array, v: Array,
     if scale is None:
         scale = 1.0 / (f ** 0.5)
 
+    if backend in ("auto", "pallas"):
+        f_pad = _round_up(f, 128)
+        qp = _pad_rows(q, graph.num_padded_nodes, f_pad)
+        kp = _pad_rows(k, graph.num_src_rows, f_pad)
+        vp = _pad_rows(v, graph.num_src_rows, f_pad)
+        out = _attn_fused_diff(
+            graph.offsets, graph.xbase, graph.s_mat, graph.t_lo,
+            graph.t_cnt, qp, kp, vp, graph.block_size, graph.window_size,
+            graph.superblock, graph.t_max, float(scale))
+        return out[:n, :f]
+
     if backend == "reference":
         scores = diag_sddmm_reference(graph, q, k)
     else:
         scores = diag_sddmm(graph, q, k)
-    scores = scores * jnp.float32(scale)
-
-    mask = graph.s_mat != 0  # structure: real edges carry nonzero GCN weight
-    logits = jnp.where(mask, scores, jnp.float32(-1e30))
-    mx = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - mx) * mask
-    den = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / jnp.where(den == 0, 1.0, den)).astype(v.dtype)
-
+    p = _masked_softmax(graph.s_mat,
+                        scores * jnp.float32(scale)).astype(v.dtype)
     if backend == "reference":
         out = diag_matvec_reference(graph, p, v)
     else:

@@ -237,3 +237,28 @@ def test_epd_attention_processor_trains():
         losses.append(float(lval))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_windowed_attention_unfused_matches_fused():
+    _, dw, n = _diag_graph()
+    rng = np.random.default_rng(6)
+    f = 32
+    q = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    fused = windowed_attention(dw, q, k, v, backend="auto")
+    unfused = windowed_attention(dw, q, k, v, backend="unfused")
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(backend):
+        def fn(q_, k_, v_):
+            out = windowed_attention(dw, q_, k_, v_, backend=backend)
+            return jnp.sum(jnp.cos(out))
+        return fn
+
+    gf = jax.grad(loss("auto"), argnums=(0, 1, 2))(q, k, v)
+    gu = jax.grad(loss("unfused"), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gu, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
