@@ -66,12 +66,14 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
     processor = config.model.processor
     if processor == "attention":
         # Windowed attention rides the diag-window layout (+ transpose
-        # tables for the softmax backward); the partitioned variant is
-        # future work.
-        if use_partition:
+        # tables for the softmax backward); the partitioned variant needs
+        # the diag partition layout (halo = window, attention has no
+        # escape term).
+        if use_partition and config.mesh.partition_layout != "diag":
             raise ValueError(
-                "model.processor='attention' is not supported on the "
-                "partitioned path yet (mesh.graph_axis>1/force_partition)"
+                "model.processor='attention' on the partitioned path "
+                "requires mesh.partition_layout='diag'; got "
+                f"{config.mesh.partition_layout!r}"
             )
         if verts is None:
             raise ValueError(
@@ -332,8 +334,21 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
     )
     if processor == "attention":
         # Attention needs the diag layout; aggregate() dispatch makes the
-        # same container serve the perturbation smoothing.
-        global_graph = graph
+        # same container serve the perturbation smoothing. On the
+        # partitioned path, rebuild the equivalent GLOBAL layout for skill
+        # eval (same n_pad so the window mask matches the trained model).
+        if use_partition:
+            from gwen_tpu.graph import to_diag_window as _tdw
+
+            global_graph = _tdw(
+                global_graph, window_size=config.mesh.diag_window,
+                dtype=compute_dtype,
+                device_build=jax.default_backend() == "tpu",
+                n_pad=pg.num_parts * pg.n_local,
+                transpose_tables=True,
+            )
+        else:
+            global_graph = graph
     sigma = tcfg.sigma
     if tcfg.calibrate_sigma and fields.shape[1] > 1:
         cal = ensemble.calibrate_sigma(

@@ -50,10 +50,17 @@ def graph_attention_apply(params: core.Params, graph: DiagWindowGraph,
     neighbourhood with its ``latent/heads``-wide slice, heads are
     concatenated and mixed by the output projection.
     """
-    if not isinstance(graph, DiagWindowGraph):
+    from gwen_tpu.parallel.halo import HaloDiagGraph, attend_halo
+
+    if isinstance(graph, HaloDiagGraph):
+        attend = lambda *a, **kw: attend_halo(*a, **kw)  # noqa: E731
+    elif isinstance(graph, DiagWindowGraph):
+        attend = windowed_attention
+    else:
         raise TypeError(
             "attention processor needs a DiagWindowGraph (diag-window "
-            f"layout with transpose tables); got {type(graph).__name__}"
+            "layout with transpose tables) or a partitioned HaloDiagGraph; "
+            f"got {type(graph).__name__}"
         )
     # Non-kernel backends ("segment", "reference") all mean the jnp path.
     backend = backend if backend in ("auto", "pallas") else "reference"
@@ -65,7 +72,7 @@ def graph_attention_apply(params: core.Params, graph: DiagWindowGraph,
     outs = []
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
-        outs.append(windowed_attention(
+        outs.append(attend(
             graph, q[..., sl], k[..., sl], v[..., sl], backend=backend))
     out = jnp.concatenate(outs, axis=-1)
     return core.linear_apply(params["wo"], out)

@@ -546,6 +546,128 @@ def _attn_fwd_impl(off, xbase, q_pad, s_mat, k_pad, v_pad,
     )(off, xbase, q_pad, s_mat, k_pad, v_pad)
 
 
+def _attn_bwd_kernel(window, buf, t_sb, num_super, scale,
+                     off_ref, xb_ref, q_ref, g_ref, s_ref, k_hbm, v_hbm,
+                     dq_ref, dl_ref, p_ref, kbuf, vbuf, sems):
+    """Fused attention backward (destination side): per sub-block,
+    recompute the probability tile in-register (scores matmul + masked
+    softmax — cheaper than round-tripping the f32 (N_pad, W) tile through
+    HBM), form ``dP = g @ V_win^T`` on the MXU, the softmax cotangent
+    ``dL = P ⊙ (dP − rowsum(dP ⊙ P)) · scale`` on the VPU, and
+    ``dQ = dL @ K_win`` on the MXU. ``dL`` and ``P`` are emitted for the
+    two source-side transpose passes (dK, dV) that no destination-order
+    kernel can produce."""
+    j = pl.program_id(0)
+    block = q_ref.shape[0] // t_sb
+
+    def dma(hbm, dst, sb, slot, k):
+        base = pl.multiple_of(xb_ref[sb], block)
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(base, buf), :],
+            dst.at[pl.ds(slot * buf, buf), :],
+            sems.at[slot, k],
+        )
+
+    def start(sb, slot):
+        dma(k_hbm, kbuf, sb, slot, 0).start()
+        dma(v_hbm, vbuf, sb, slot, 1).start()
+
+    @pl.when(j == 0)
+    def _():
+        start(0, 0)
+        if num_super > 1:
+            start(jnp.int32(1), 1)
+
+    slot = jax.lax.rem(j, 2)
+    dma(k_hbm, kbuf, j, slot, 0).wait()
+    dma(v_hbm, vbuf, j, slot, 1).wait()
+
+    prec = jax.lax.Precision.HIGHEST if kbuf.dtype == jnp.float32 else None
+    nt = (((1,), (1,)), ((), ()))
+    for t in range(t_sb):
+        off = pl.multiple_of(off_ref[j * t_sb + t], block)
+        kw = kbuf[pl.ds(slot * buf + off, window), :]
+        vw = vbuf[pl.ds(slot * buf + off, window), :]
+        rows = slice(t * block, (t + 1) * block)
+        scores = jax.lax.dot_general(
+            q_ref[rows, :], kw, nt,
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * scale
+        mask = s_ref[rows, :] != 0
+        logits = jnp.where(mask, scores, jnp.float32(-1e30))
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - mx) * mask
+        den = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / jnp.where(den == 0, 1.0, den)
+        dp = jax.lax.dot_general(
+            g_ref[rows, :], vw, nt,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+        dq_ref[rows, :] = jnp.dot(
+            dl.astype(kbuf.dtype), kw,
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(dq_ref.dtype)
+        dl_ref[rows, :] = dl.astype(dl_ref.dtype)
+        p_ref[rows, :] = p.astype(p_ref.dtype)
+
+    @pl.when(j + 2 < num_super)
+    def _():
+        start(jnp.minimum(j + 2, num_super - 1), slot)
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+def _attn_bwd_impl(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
+                   block, window, t_sb, scale):
+    n_pad = q_pad.shape[0]
+    f_pad = q_pad.shape[1]
+    num_super = n_pad // (block * t_sb)
+    buf = window + (t_sb - 1) * block
+
+    idx = lambda j, *_: (j, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_super,),
+        in_specs=[
+            pl.BlockSpec((block * t_sb, f_pad), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block * t_sb, f_pad), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block * t_sb, window), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((block * t_sb, f_pad), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block * t_sb, window), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block * t_sb, window), idx, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * buf, f_pad), k_pad.dtype),
+            pltpu.VMEM((2 * buf, f_pad), v_pad.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(_attn_bwd_kernel, window, buf, t_sb,
+                               num_super, scale)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, f_pad), q_pad.dtype),
+            jax.ShapeDtypeStruct((n_pad, window), q_pad.dtype),
+            jax.ShapeDtypeStruct((n_pad, window), q_pad.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n_pad * window * f_pad,
+            bytes_accessed=4 * k_pad.size * k_pad.dtype.itemsize
+            + s_mat.size * s_mat.dtype.itemsize
+            + (3 * n_pad * f_pad + 2 * n_pad * window)
+            * q_pad.dtype.itemsize,
+            transcendentals=n_pad * window,
+        ),
+        interpret=_interpret(),
+    )(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad)
+
+
 def _masked_softmax(s_mat, scores: Array) -> Array:
     """Masked softmax over the window axis (f32 in, f32 out)."""
     mask = s_mat != 0
@@ -571,21 +693,17 @@ def _attn_fused_fwd(off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp,
 
 
 def _attn_fused_bwd(block, window, t_sb, m_max, scale, res, g):
-    """Flash-style backward: recompute P (one SDDMM + softmax — cheaper
-    than storing the (N_pad, W) tile across fwd/bwd), then the standard
-    softmax-attention cotangents from the three diag primitives."""
+    """Flash-style backward: one fused destination-side kernel recomputes
+    P in-register and emits dQ, dL, P (cheaper than round-tripping the
+    f32 (N_pad, W) score tile through HBM), then two source-side
+    transpose passes produce dK and dV."""
     off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp = res
     g = g.astype(vp.dtype)
-    scores = _sddmm_chunked(off, xbase, qp, kp, block, window, t_sb)
-    p = _masked_softmax(s_mat, scores * jnp.float32(scale))
-    pc = p.astype(vp.dtype)
-    dv = _spmm_t_chunked(t_lo, t_cnt, off, xbase, pc, g, block, t_sb, m_max)
-    dp = _sddmm_chunked(off, xbase, g, vp, block, window, t_sb)
-    dl = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-          * jnp.float32(scale)).astype(qp.dtype)
-    dq = _matvec_impl(off, xbase, dl, kp, block, window, t_sb)
+    dq, dl, p = _attn_bwd_impl(off, xbase, qp, g, s_mat, kp, vp,
+                               block, window, t_sb, scale)
     dk = _spmm_t_chunked(t_lo, t_cnt, off, xbase, dl, qp, block, t_sb,
                          m_max)
+    dv = _spmm_t_chunked(t_lo, t_cnt, off, xbase, p, g, block, t_sb, m_max)
     return (None, None, None, None, None,
             dq.astype(qp.dtype), dk.astype(kp.dtype), dv.astype(vp.dtype))
 

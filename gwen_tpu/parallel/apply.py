@@ -45,11 +45,15 @@ def make_partitioned_apply(
         from gwen_tpu.parallel.halo import HaloDiagGraph
 
         has_esc = pg.diag_esc_start is not None
+        has_t = pg.diag_t_lo is not None
         sharded = (
             jnp.asarray(pg.diag_offsets),
             jnp.asarray(pg.diag_xbase),
             jnp.asarray(pg.s_diag),
         ) + ((
+            jnp.asarray(pg.diag_t_lo),
+            jnp.asarray(pg.diag_t_cnt),
+        ) if has_t else ()) + ((
             jnp.asarray(pg.diag_esc_start),
             jnp.asarray(pg.diag_esc_lrow),
             jnp.asarray(pg.diag_loc_idx),
@@ -65,11 +69,14 @@ def make_partitioned_apply(
         )
 
         def local_apply(*args):
+            off_p, xb_p, s_p, *rest = args
+            tl_p = tc_p = None
+            if has_t:
+                tl_p, tc_p, *rest = rest
             if has_esc:
-                (off_p, xb_p, s_p, es_p, lr_p, li_p, bk_p,
-                 idx2, esc2, params, x) = args
+                es_p, lr_p, li_p, bk_p, idx2, esc2, params, x = rest
             else:
-                off_p, xb_p, s_p, params, x = args
+                params, x = rest
                 es_p = lr_p = li_p = bk_p = idx2 = esc2 = None
 
             def first(a):  # strip the sliced leading partition axis
@@ -94,6 +101,9 @@ def make_partitioned_apply(
                 esc2=esc2,
                 cnt_pad=pg.diag_cnt_pad,
                 u_pp=pg.diag_u_pp,
+                t_lo=first(tl_p),
+                t_cnt=first(tc_p),
+                t_max=pg.diag_t_max,
             )
             return model.apply(params, hg, x)
     elif sliding:

@@ -107,6 +107,11 @@ class HaloDiagGraph:
     esc2: "object | None" = None  # replicated c2-space SlidingDenseGraph
     cnt_pad: int = struct.field(pytree_node=False, default=0)
     u_pp: int = struct.field(pytree_node=False, default=0)
+    # Transpose coverage ranges over the halo-extended source blocks
+    # (windowed attention backward; see graph.diag_transpose_tables):
+    t_lo: "Array | None" = None  # (ext_rows // block,) int32
+    t_cnt: "Array | None" = None  # (ext_rows // block,) int32
+    t_max: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_nodes(self) -> int:  # model-facing row count per device
@@ -342,3 +347,98 @@ def _aggregate_halo_impl(graph, x: Array, backend: str) -> Array:
 
         out = aggregate_block_ell_reference(graph.local_block_ell(), x_ext)
     return out[..., : graph.n_local, :]
+
+
+# ---------------------------------------------- partitioned attention
+
+
+def _attn_halo_kernel(graph: HaloDiagGraph, q: Array, k_ext: Array,
+                      v_ext: Array, scale: float) -> Array:
+    """Fused attention kernel over the halo-extended K/V (Pallas)."""
+    from gwen_tpu.ops.attention_pallas import _attn_fused_diff, _pad_rows
+    from gwen_tpu.ops.spmm_pallas import _round_up as _ru
+
+    leading = q.shape[:-2]
+    f = q.shape[-1]
+    if leading:
+        qb = q.reshape((-1,) + q.shape[-2:])
+        kb = k_ext.reshape((-1,) + k_ext.shape[-2:])
+        vb = v_ext.reshape((-1,) + v_ext.shape[-2:])
+        out = jnp.stack([
+            _attn_halo_kernel(graph, qb[b], kb[b], vb[b], scale)
+            for b in range(qb.shape[0])
+        ])
+        return out.reshape(leading + out.shape[-2:])
+
+    f_pad = _ru(f, 128)
+    qp = _pad_rows(q, graph.n_local, f_pad)
+    kp = _pad_rows(k_ext, graph.ext_rows, f_pad)
+    vp = _pad_rows(v_ext, graph.ext_rows, f_pad)
+    out = _attn_fused_diff(
+        graph.offsets, graph.xbase, graph.s_mat, graph.t_lo, graph.t_cnt,
+        qp, kp, vp, graph.block_size, graph.window_size, graph.superblock,
+        graph.t_max, float(scale),
+    )
+    return out[:, :f]
+
+
+def _attn_halo_reference(graph: HaloDiagGraph, q: Array, k_ext: Array,
+                         v_ext: Array, scale: float) -> Array:
+    """jnp reference for the partitioned attention (CPU mesh tests)."""
+    bs, w = graph.block_size, graph.window_size
+    nb = graph.n_local // bs
+    s_blocks = graph.s_mat.reshape(nb, bs, w)
+    outs = []
+    for b in range(nb):
+        start = graph.xbase[b // graph.superblock] + graph.offsets[b]
+        kw = jax.lax.dynamic_slice_in_dim(k_ext, start, w, axis=-2)
+        vw = jax.lax.dynamic_slice_in_dim(v_ext, start, w, axis=-2)
+        q_b = q[..., b * bs:(b + 1) * bs, :]
+        scores = jnp.einsum(
+            "...bf,...wf->...bw",
+            q_b.astype(jnp.float32), kw.astype(jnp.float32),
+        ) * jnp.float32(scale)
+        mask = s_blocks[b] != 0
+        logits = jnp.where(mask, scores, jnp.float32(-1e30))
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - mx) * mask
+        den = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / jnp.where(den == 0, 1.0, den)
+        outs.append(jnp.einsum(
+            "...bw,...wf->...bf", p.astype(v_ext.dtype), vw,
+        ))
+    return jnp.concatenate(outs, axis=-2)
+
+
+def attend_halo(graph: HaloDiagGraph, q: Array, k: Array, v: Array, *,
+                scale: "float | None" = None, backend: str = "auto") -> Array:
+    """Windowed attention over a partitioned diag layout.
+
+    Each destination's in-window neighbourhood is fully contained in the
+    halo-extended local array (halo = window), so partitioned attention is
+    two halo ring exchanges (K, V) + the local fused kernel — and, unlike
+    the GCN path, there is no escape term at all (windowed attention
+    excludes out-of-window edges by definition, identically on the global
+    layout). Differentiation composes: the fused kernel's flash-style VJP
+    produces local dK/dV on the extended rows, and autodiff of the
+    ``ppermute``-based exchange routes halo cotangents back to their
+    owners.
+    """
+    if q.shape[-2] != graph.n_local:
+        raise ValueError(
+            f"q has {q.shape[-2]} rows, partition has {graph.n_local}")
+    f = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / (f ** 0.5)
+    k_ext = halo_exchange(k, graph.halo, graph.axis_name)
+    v_ext = halo_exchange(v, graph.halo, graph.axis_name)
+    on_tpu = jax.default_backend() == "tpu"
+    if backend in ("auto", "pallas") and on_tpu:
+        if graph.t_max == 0:
+            raise ValueError(
+                "attend_halo needs transpose tables — rebuild the "
+                "partition with partition_graph(layout='diag') (recent "
+                "builds emit diag_t_lo/diag_t_cnt)"
+            )
+        return _attn_halo_kernel(graph, q, k_ext, v_ext, scale)
+    return _attn_halo_reference(graph, q, k_ext, v_ext, scale)

@@ -80,6 +80,12 @@ class PartitionedGraph:
     diag_loc_idx: "np.ndarray | None" = None  # (P, U_pp) int32 local x rows
     diag_back_loc: "np.ndarray | None" = None  # (P, U_pp) int32 c2 rows
     diag_idx2: "np.ndarray | None" = None  # (U,) int32 into gathered layout
+    # Transpose coverage ranges per partition (windowed attention backward /
+    # differentiable-S; see graph.diag_transpose_tables): per halo-extended
+    # source block, the contiguous range of covering local sub-blocks.
+    diag_t_lo: "np.ndarray | None" = None  # (P, n_ext // block) int32
+    diag_t_cnt: "np.ndarray | None" = None  # (P, n_ext // block) int32
+    diag_t_max: int = 0
     esc2_graph: "object | None" = None  # replicated c2 SlidingDenseGraph
 
     @property
@@ -382,6 +388,20 @@ def _partition_diag(
     else:
         s_diag = np.asarray(s_mat).reshape(num_parts, n_local, W)
 
+    # Transpose coverage ranges (attention backward / differentiable-S):
+    # local window starts are monotonic per partition, so the covering
+    # sub-blocks per ext source block are a contiguous searchsorted range.
+    ns_ext = n_ext // block
+    c_rows = np.arange(ns_ext, dtype=np.int64) * block
+    t_lo_l = np.zeros((num_parts, ns_ext), np.int32)
+    t_cnt_l = np.zeros((num_parts, ns_ext), np.int32)
+    for p in range(num_parts):
+        lo = np.searchsorted(ws_l[p], c_rows - W, side="right")
+        hi = np.searchsorted(ws_l[p], c_rows, side="right")
+        t_lo_l[p] = lo.astype(np.int32)
+        t_cnt_l[p] = (hi - lo).astype(np.int32)
+    t_max = int(max(1, t_cnt_l.max()))
+
     # ---- escape (boundary-skeleton) tables, partitioned ------------------
     cnt_pad = 0
     u_pp = 0
@@ -465,4 +485,7 @@ def _partition_diag(
         diag_back_loc=back_loc,
         diag_idx2=idx2,
         esc2_graph=esc2_graph,
+        diag_t_lo=t_lo_l,
+        diag_t_cnt=t_cnt_l,
+        diag_t_max=t_max,
     )

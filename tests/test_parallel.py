@@ -389,3 +389,51 @@ def test_partitioned_diag_model_and_gradients():
     gg = jax.jit(jax.grad(loss_global))(params)
     for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gg)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_partitioned_attention_matches_global():
+    """Partitioned windowed attention (halo K/V exchange + local fused
+    kernel) == global windowed attention, incl. gradients. The global
+    layout is rebuilt at the partition's n_pad so the window masks are
+    identical."""
+    from gwen_tpu.graph import to_diag_window
+
+    s2, r2, n = _kd_graph()
+    num_parts = 2
+    pg = partition_graph(
+        s2, r2, n, num_parts=num_parts, block_size=32, reorder=False,
+        layout="diag", diag_window=128, diag_superblock=4,
+    )
+    assert pg.diag_t_lo is not None and pg.diag_t_max > 0
+    g_ref = build_graph(s2, r2, n)
+    dw = to_diag_window(
+        g_ref, window_size=128, block_size=32, superblock=4,
+        n_pad=num_parts * pg.n_local, transpose_tables=True,
+    )
+    model = EncodeProcessDecode(
+        channels_in=4, channels_out=4, latent_size=8, process_steps=2,
+        processor="attention", attn_heads=2,
+    )
+    params = model.init(jax.random.key(1))
+    mesh = make_mesh(data=len(jax.devices()) // num_parts, graph=num_parts)
+    apply = make_partitioned_apply(model, pg, mesh)
+
+    dp = len(jax.devices()) // num_parts
+    x = np.random.default_rng(5).normal(size=(dp, n, 4)).astype(np.float32)
+    xp = jnp.asarray(pg.pad_nodes(x))
+    want = np.asarray(model.apply(params, dw, jnp.asarray(x)))
+    got = np.asarray(jax.jit(apply)(params, xp))[:, :n, :]
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def loss_part(p):
+        return jnp.sum(jnp.sin(apply(p, xp)[:, :n, :]))
+
+    def loss_global(p):
+        return jnp.sum(jnp.sin(model.apply(p, dw, jnp.asarray(x))))
+
+    gp = jax.jit(jax.grad(loss_part))(params)
+    gg = jax.jit(jax.grad(loss_global))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
