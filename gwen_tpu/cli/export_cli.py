@@ -20,8 +20,40 @@ from gwen_tpu.registry import Registry, default_experiment
 log = get_logger()
 
 
+def _resolve_hparams(meta: dict, config: GwenConfig) -> dict:
+    """Model hyperparameters for export: the run's stored values are
+    authoritative. A CLI value that differs from BOTH the stored value and
+    the dataclass default is an explicit conflicting override → error
+    (a mismatched processor/attn_heads/residual/mlp_layers yields identical
+    param shapes, so export would silently serve wrong predictions; a
+    mismatched diag_window silently changes the attention neighbourhood).
+    Runs recorded before these keys existed fall back to the CLI value."""
+    model_d, mesh_d = type(config.model)(), type(config.mesh)()
+    spec = [
+        ("processor", config.model.processor, model_d.processor),
+        ("attn_heads", config.model.attn_heads, model_d.attn_heads),
+        ("residual", config.model.residual, model_d.residual),
+        ("mlp_layers", config.model.mlp_layers, model_d.mlp_layers),
+        ("compute_dtype", config.model.compute_dtype, model_d.compute_dtype),
+        ("diag_window", config.mesh.diag_window, mesh_d.diag_window),
+    ]
+    out = {}
+    for name, cli_val, default in spec:
+        stored = meta.get(name)
+        if stored is None:
+            out[name] = cli_val
+        elif cli_val != default and cli_val != stored:
+            raise ValueError(
+                f"export: run was trained with {name}={stored!r} but the "
+                f"CLI sets {name}={cli_val!r}; drop the override — stored "
+                "hyperparameters are authoritative")
+        else:
+            out[name] = stored
+    return out
+
+
 def export_main(config: GwenConfig, out: str, data: str = "",
-                experiment: str = "") -> dict:
+                experiment: str = "", rollout_steps: int = 4) -> dict:
     """Load the best mesh-model run, rebuild its serving graph, export."""
     import jax
     import jax.numpy as jnp
@@ -42,19 +74,28 @@ def export_main(config: GwenConfig, out: str, data: str = "",
         (config.run.experiment or default_experiment()) + "_MESH")
     params, meta = registry.load_best_model(experiment)
 
+    hp = _resolve_hparams(meta, config)
     if data:
         from gwen_tpu.data.meshstore import load_mesh_dataset
 
         _fields, s, r, verts, _m = load_mesh_dataset(data, lazy=True)
         n = int(max(s.max(), r.max())) + 1
     else:
+        if meta.get("data"):
+            log.info("run was trained on %s; exporting against the L%s "
+                     "icosphere — pass --data to use the training mesh",
+                     meta["data"], meta["levels"])
         verts, s, r = icosphere_edges(int(meta["levels"]))
         n = verts.shape[0]
+    if meta.get("nodes") is not None and n != int(meta["nodes"]):
+        raise ValueError(
+            f"export: rebuilt mesh has {n} nodes but the run was trained on "
+            f"{meta['nodes']} (data={meta.get('data') or 'icosphere'}); pass "
+            "--data pointing at the training dataset")
 
-    processor = config.model.processor
+    processor = hp["processor"]
     compute_dtype = (
-        jnp.bfloat16 if config.model.compute_dtype == "bfloat16"
-        else jnp.float32
+        jnp.bfloat16 if hp["compute_dtype"] == "bfloat16" else jnp.float32
     )
     # Serving layout mirrors train-mesh: diag-window (KD order) wherever the
     # Pallas path runs (TPU) or attention demands it; COO/segment elsewhere.
@@ -68,7 +109,7 @@ def export_main(config: GwenConfig, out: str, data: str = "",
     g = build_graph(s2, r2, n)
     if use_diag:
         graph = to_diag_window(
-            g, window_size=config.mesh.diag_window, dtype=compute_dtype,
+            g, window_size=hp["diag_window"], dtype=compute_dtype,
             transpose_tables=(processor == "attention"),
         )
         backend = "auto"
@@ -81,12 +122,12 @@ def export_main(config: GwenConfig, out: str, data: str = "",
         channels_in=ch, channels_out=ch,
         latent_size=int(meta["latent_size"]),
         process_steps=int(meta["process_steps"]),
-        mlp_layers=config.model.mlp_layers,
-        residual=config.model.residual,
+        mlp_layers=int(hp["mlp_layers"]),
+        residual=bool(hp["residual"]),
         compute_dtype=compute_dtype,
         backend=backend,
         processor=processor,
-        attn_heads=config.model.attn_heads,
+        attn_heads=int(hp["attn_heads"]),
     )
     sample = np.zeros((n, ch), np.float32)
     # Node ordering is free to differ from training: every op is per-node or
@@ -98,7 +139,7 @@ def export_main(config: GwenConfig, out: str, data: str = "",
         "experiment": experiment,
         "node_order": "kd" if use_diag else "rcm",
         "processor": processor,
-    })
+    }, rollout_steps=rollout_steps)
     # The node permutation matters to serve correctly-ordered inputs; store
     # it as its own array (meta.json stays small).
     np.save(Path(path) / "node_perm.npy", np.asarray(perm, np.int64))

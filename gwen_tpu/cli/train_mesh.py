@@ -306,11 +306,22 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
     state, best = trainer.fit(
         state, batches, tcfg.epochs, checkpoint_every=tcfg.checkpoint_every
     )
+    # Persist EVERY hyperparameter the export CLI needs to rebuild the
+    # model: a mismatched processor/attn_heads/residual/mlp_layers produces
+    # identical param shapes, so export would otherwise succeed and serve
+    # silently wrong predictions. nodes/data pin the mesh identity.
     run.save_model(
         state.params,
         {"latent_size": config.model.latent_size,
          "process_steps": config.model.process_steps,
-         "channels": ch, "levels": levels},
+         "channels": ch, "levels": levels,
+         "processor": processor,
+         "attn_heads": config.model.attn_heads,
+         "residual": config.model.residual,
+         "mlp_layers": config.model.mlp_layers,
+         "diag_window": config.mesh.diag_window,
+         "compute_dtype": config.model.compute_dtype,
+         "nodes": n, "data": data or ""},
         best_metric=best,
     )
 

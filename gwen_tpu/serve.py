@@ -57,12 +57,16 @@ def _is_array(x) -> bool:
 def pack_tree(tree, leaves: list) -> Any:
     """Encode a pytree (dicts/lists/tuples/None/scalars/arrays/graph
     structs) as a JSON-able spec; array leaves are appended to ``leaves``
-    and referenced by index."""
+    and referenced by index.  Each array entry records its dtype name:
+    ``np.savez`` silently degrades ml_dtypes extension dtypes (bfloat16,
+    fp8) to raw void ``|V2`` on reload, so :func:`unpack_tree` views the
+    stored bit pattern back through the recorded dtype."""
     if tree is None or isinstance(tree, (bool, int, float, str)):
         return {"k": "lit", "v": tree}
     if _is_array(tree):
-        leaves.append(np.asarray(tree))
-        return {"k": "arr", "i": len(leaves) - 1}
+        leaf = np.asarray(tree)
+        leaves.append(leaf)
+        return {"k": "arr", "i": len(leaves) - 1, "dt": leaf.dtype.name}
     if isinstance(tree, dict):
         return {"k": "dict",
                 "v": {str(key): pack_tree(val, leaves)
@@ -84,7 +88,13 @@ def unpack_tree(spec: Any, leaves: list) -> Any:
     if kind == "lit":
         return spec["v"]
     if kind == "arr":
-        return leaves[spec["i"]]
+        leaf = leaves[spec["i"]]
+        want = spec.get("dt")
+        if want is not None and leaf.dtype.name != want:
+            import ml_dtypes  # noqa: F401  (registers bfloat16 et al.)
+
+            leaf = np.ascontiguousarray(leaf).view(np.dtype(want))
+        return leaf
     if kind == "dict":
         return {key: unpack_tree(val, leaves) for key, val in spec["v"].items()}
     if kind == "list":
@@ -98,6 +108,18 @@ def unpack_tree(spec: Any, leaves: list) -> Any:
     raise ValueError(f"unpack_tree: unknown node kind {kind!r}")
 
 
+# Storage views for numpy extension dtypes (ml_dtypes bfloat16/fp8): savez
+# round-trips them as raw void, so store the bit pattern as an unsigned int
+# of the same width; unpack_tree views it back via the spec's dtype name.
+_BIT_VIEW = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
+
+
+def _np_storable(leaf: np.ndarray) -> np.ndarray:
+    if leaf.dtype.kind == "V":  # extension dtype (not a builtin numpy one)
+        return np.ascontiguousarray(leaf).view(_BIT_VIEW[leaf.dtype.itemsize])
+    return leaf
+
+
 def _shapes_of(tree):
     import jax
 
@@ -109,11 +131,16 @@ def _shapes_of(tree):
 
 
 def export_model(model, params, graph, sample_input, path,
-                 metadata: "dict | None" = None) -> Path:
+                 metadata: "dict | None" = None,
+                 rollout_steps: int = 0) -> Path:
     """Export ``model.apply(params, graph, x)`` as a serving artifact.
 
     ``sample_input`` fixes the input shape/dtype (serving is static-shape —
-    the TPU contract). Returns the artifact directory path.
+    the TPU contract). With ``rollout_steps > 0`` a ``lax.scan``-based
+    autoregressive rollout of that many steps is exported alongside the
+    single step (``rollout.stablehlo``): one dispatch produces the whole
+    stacked trajectory on device, instead of a host loop paying per-step
+    dispatch latency and state round-trips. Returns the artifact directory.
     """
     import jax
 
@@ -138,6 +165,19 @@ def export_model(model, params, graph, sample_input, path,
         _shapes_of(p_leaves), _shapes_of(g_leaves), x_spec)
     (path / "model.stablehlo").write_bytes(exported.serialize())
 
+    if rollout_steps > 0:
+        def rollout(p_flat, g_flat, x):
+            def body(carry, _):
+                y = step(p_flat, g_flat, carry)
+                return y, y
+
+            _, ys = jax.lax.scan(body, x, None, length=rollout_steps)
+            return ys
+
+        exp_roll = jax.export.export(jax.jit(rollout))(
+            _shapes_of(p_leaves), _shapes_of(g_leaves), x_spec)
+        (path / "rollout.stablehlo").write_bytes(exp_roll.serialize())
+
     leaves: list[np.ndarray] = []
     spec = {
         "params": pack_tree(params, leaves),
@@ -146,10 +186,11 @@ def export_model(model, params, graph, sample_input, path,
                   "dtype": np.asarray(sample_input).dtype.name},
         "platforms": list(exported.platforms),
         "jax_version": jax.__version__,
+        "rollout_steps": int(rollout_steps),
         "metadata": metadata or {},
     }
     np.savez(path / "arrays.npz",
-             **{f"a{i}": leaf for i, leaf in enumerate(leaves)})
+             **{f"a{i}": _np_storable(leaf) for i, leaf in enumerate(leaves)})
     (path / "meta.json").write_text(json.dumps(spec))
     return path
 
@@ -161,8 +202,10 @@ class ServingModel:
     or graph builders.
     """
 
-    def __init__(self, exported, params, graph, meta: dict):
+    def __init__(self, exported, params, graph, meta: dict,
+                 exported_rollout=None):
         self._exported = exported
+        self._exported_rollout = exported_rollout
         self.params = params
         self.graph = graph
         self.meta = meta
@@ -174,12 +217,16 @@ class ServingModel:
         path = Path(path)
         exported = jax.export.deserialize(
             (path / "model.stablehlo").read_bytes())
+        roll = None
+        if (path / "rollout.stablehlo").exists():
+            roll = jax.export.deserialize(
+                (path / "rollout.stablehlo").read_bytes())
         meta = json.loads((path / "meta.json").read_text())
         with np.load(path / "arrays.npz") as z:
             leaves = [z[f"a{i}"] for i in range(len(z.files))]
         params = unpack_tree(meta["params"], leaves)
         graph = unpack_tree(meta["graph"], leaves)
-        return cls(exported, params, graph, meta)
+        return cls(exported, params, graph, meta, exported_rollout=roll)
 
     @property
     def input_shape(self) -> tuple:
@@ -193,10 +240,32 @@ class ServingModel:
         g_flat = jax.tree_util.tree_leaves(self.graph)
         return self._exported.call(p_flat, g_flat, x)
 
+    @property
+    def rollout_steps(self) -> int:
+        return int(self.meta.get("rollout_steps", 0))
+
     def rollout(self, x0, num_steps: int):
         """Autoregressive rollout: feed each prediction back as input.
-        Returns the stacked trajectory (num_steps, *state_shape)."""
+        Returns the stacked trajectory (num_steps, *state_shape).
+
+        When the artifact carries a scan-based rollout export (R steps per
+        dispatch), the trajectory is produced in ⌈num_steps/R⌉ dispatches
+        with states staying on device — not a host loop paying per-step
+        dispatch latency and state round-trips."""
+        import jax
         import jax.numpy as jnp
+
+        r = self.rollout_steps
+        if self._exported_rollout is not None and r > 0:
+            p_flat = jax.tree_util.tree_leaves(self.params)
+            g_flat = jax.tree_util.tree_leaves(self.graph)
+            chunks = []
+            x = x0
+            for _ in range((num_steps + r - 1) // r):
+                ys = self._exported_rollout.call(p_flat, g_flat, x)
+                chunks.append(ys)
+                x = ys[-1]
+            return jnp.concatenate(chunks, axis=0)[:num_steps]
 
         states = []
         x = x0

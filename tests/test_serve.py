@@ -76,6 +76,50 @@ def test_export_load_step_parity(tmp_path):
     assert np.isfinite(traj).all()
 
 
+def test_export_scan_rollout(tmp_path):
+    # The scan-based rollout artifact (R steps per dispatch) must produce
+    # the same trajectory as step-by-step feeding, including when the
+    # requested horizon is not a multiple of R.
+    model, params, g, n = _tiny_model_and_graph()
+    x = np.random.default_rng(2).normal(size=(n, 3)).astype(np.float32)
+
+    path = export_model(model, params, g, x, tmp_path / "art_roll",
+                        rollout_steps=2)
+    assert (tmp_path / "art_roll" / "rollout.stablehlo").exists()
+    sm = ServingModel.load(path)
+    assert sm.rollout_steps == 2
+
+    got = np.asarray(sm.rollout(jnp.asarray(x), 5))
+    assert got.shape == (5, n, 3)
+    want, xi = [], jnp.asarray(x)
+    for _ in range(5):
+        xi = sm.step(xi)
+        want.append(np.asarray(xi))
+    np.testing.assert_allclose(got, np.stack(want), rtol=1e-5, atol=1e-5)
+
+
+def test_export_load_step_bf16(tmp_path):
+    # np.savez degrades ml_dtypes bfloat16 to raw void '|V2' on reload; the
+    # pack_tree dtype record must view it back (every TPU/attention export
+    # has bf16 leaves — ADVICE r3 high).
+    model, params, g, n = _tiny_model_and_graph()
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params)
+    x = np.random.default_rng(1).normal(size=(n, 3)).astype(np.float32)
+
+    path = export_model(model, params, g, x, tmp_path / "art_bf16")
+    sm = ServingModel.load(path)
+    leaf_dtypes = {np.asarray(leaf).dtype.name
+                   for leaf in jax.tree_util.tree_leaves(sm.params)}
+    assert "bfloat16" in leaf_dtypes
+    assert not any(d.startswith("void") for d in leaf_dtypes)
+
+    got = np.asarray(sm.step(jnp.asarray(x)), np.float32)
+    want = np.asarray(model.apply(params, g, jnp.asarray(x)), np.float32)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
 def test_cli_export_predict(tmp_path, capsys):
     from gwen_tpu.cli.main import main as cli
 
@@ -103,3 +147,12 @@ def test_cli_export_predict(tmp_path, capsys):
     pred = np.load(tmp_path / "pred.npy")
     assert pred.shape == (2, 162, x0.shape[1])
     assert np.isfinite(pred).all()
+
+    # A CLI override conflicting with the run's stored hyperparameters must
+    # be rejected (same param shapes → would serve silently wrong preds).
+    import pytest
+
+    with pytest.raises(ValueError, match="attn_heads"):
+        cli(["export", "--out", str(tmp_path / "art2"),
+             "model.attn_heads=4", "run.experiment=SRV",
+             f"run.registry_root={tmp_path / 'runs'}"])
