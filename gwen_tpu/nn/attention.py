@@ -69,10 +69,12 @@ def graph_attention_apply(params: core.Params, graph: DiagWindowGraph,
     q = core.linear_apply(params["wq"], x)
     k = core.linear_apply(params["wk"], x)
     v = core.linear_apply(params["wv"], x)
-    outs = []
-    for h in range(heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        outs.append(attend(
-            graph, q[..., sl], k[..., sl], v[..., sl], backend=backend))
-    out = jnp.concatenate(outs, axis=-1)
+    # Heads fold into the LEADING axis and ride the batched fused kernel in
+    # a single invocation: the S-mask stream is shared across heads, and on
+    # the partitioned path K/V are halo-exchanged once per tensor (the
+    # leading head axis rides through ppermute) instead of once per head.
+    fold = lambda t: jnp.moveaxis(  # noqa: E731 — (..., N, L)→(H, ..., N, dh)
+        t.reshape(t.shape[:-1] + (heads, dh)), -2, 0)
+    oh = attend(graph, fold(q), fold(k), fold(v), backend=backend)
+    out = jnp.moveaxis(oh, 0, -2).reshape(x.shape[:-1] + (latent,))
     return core.linear_apply(params["wo"], out)

@@ -256,13 +256,14 @@ def _spmm_t_impl(t_lo, t_cnt, off, xbase, s_mat, g_pad, block, t_sb, m_max):
 
 def _spmm_t_chunked(t_lo, t_cnt, off, xbase, s_mat, g_pad, block, t_sb,
                     m_max):
-    f_pad = g_pad.shape[1]
+    f_pad = g_pad.shape[-1]
+    impl = _spmm_t_impl_b if g_pad.ndim == 3 else _spmm_t_impl
     outs = []
     for c0 in range(0, f_pad, _F_CHUNK):
         wc = min(_F_CHUNK, f_pad - c0)
-        outs.append(_spmm_t_impl(t_lo, t_cnt, off, xbase, s_mat,
-                                 g_pad[:, c0:c0 + wc], block, t_sb, m_max))
-    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        outs.append(impl(t_lo, t_cnt, off, xbase, s_mat,
+                         g_pad[..., c0:c0 + wc], block, t_sb, m_max))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 
 
 # ----------------------------------------- differentiable S @ X (matvec)
@@ -344,9 +345,9 @@ def _require_tables(graph: DiagWindowGraph, who: str) -> None:
 
 
 def _pad_rows(x: Array, rows: int, f_pad: int) -> Array:
-    n, f = x.shape
-    out = jnp.zeros((rows, f_pad), x.dtype)
-    return out.at[: min(n, rows), :f].set(x[: min(n, rows)])
+    n, f = x.shape[-2:]
+    out = jnp.zeros(x.shape[:-2] + (rows, f_pad), x.dtype)
+    return out.at[..., : min(n, rows), :f].set(x[..., : min(n, rows), :])
 
 
 def diag_sddmm(graph: DiagWindowGraph, a: Array, b: Array) -> Array:
@@ -546,6 +547,115 @@ def _attn_fwd_impl(off, xbase, q_pad, s_mat, k_pad, v_pad,
     )(off, xbase, q_pad, s_mat, k_pad, v_pad)
 
 
+def _attn_fwd_kernel_b(window, buf, t_sb, num_super, nb, scale,
+                       off_ref, xb_ref, q_ref, s_ref, k_hbm, v_hbm,
+                       out_ref, kbuf, vbuf, sems):
+    """Batched fused forward: 2-D grid ``(num_super, nb)``, batch innermost
+    so each (block·t_sb, window) S-mask tile is streamed ONCE per superblock
+    and reused across the batch — this is what amortizes the mask stream
+    over attention heads/batch (heads fold into the leading axis upstream).
+    Per-step VMEM equals the unbatched kernel."""
+    j = pl.program_id(0)
+    b = pl.program_id(1)
+    step = j * nb + b
+    total = num_super * nb
+    block = q_ref.shape[1] // t_sb
+
+    def dma(hbm, dst, s_idx, slot, k):
+        jj = s_idx // nb
+        bb = jax.lax.rem(s_idx, nb)
+        base = pl.multiple_of(xb_ref[jj], block)
+        return pltpu.make_async_copy(
+            hbm.at[bb, pl.ds(base, buf), :],
+            dst.at[pl.ds(slot * buf, buf), :],
+            sems.at[slot, k],
+        )
+
+    def start(s_idx, slot):
+        dma(k_hbm, kbuf, s_idx, slot, 0).start()
+        dma(v_hbm, vbuf, s_idx, slot, 1).start()
+
+    @pl.when(step == 0)
+    def _():
+        start(0, 0)
+        if total > 1:
+            start(jnp.int32(1), 1)
+
+    slot = jax.lax.rem(step, 2)
+    dma(k_hbm, kbuf, step, slot, 0).wait()
+    dma(v_hbm, vbuf, step, slot, 1).wait()
+
+    prec = jax.lax.Precision.HIGHEST if kbuf.dtype == jnp.float32 else None
+    for t in range(t_sb):
+        off = pl.multiple_of(off_ref[j * t_sb + t], block)
+        kw = kbuf[pl.ds(slot * buf + off, window), :]
+        vw = vbuf[pl.ds(slot * buf + off, window), :]
+        q_t = q_ref[0, t * block:(t + 1) * block, :]
+        scores = jax.lax.dot_general(
+            q_t, kw, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * scale
+        mask = s_ref[t * block:(t + 1) * block, :] != 0
+        logits = jnp.where(mask, scores, jnp.float32(-1e30))
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - mx) * mask
+        den = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / jnp.where(den == 0, 1.0, den)
+        out_ref[0, t * block:(t + 1) * block, :] = jnp.dot(
+            p.astype(kbuf.dtype), vw,
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(out_ref.dtype)
+
+    @pl.when(step + 2 < total)
+    def _():
+        start(jnp.minimum(step + 2, total - 1), slot)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _attn_fwd_impl_b(off, xbase, q_pad, s_mat, k_pad, v_pad,
+                     block, window, t_sb, scale):
+    nb, n_pad, f_pad = q_pad.shape
+    num_super = n_pad // (block * t_sb)
+    buf = window + (t_sb - 1) * block
+
+    s_idx = lambda j, b, *_: (j, 0)  # noqa: E731 — S reused across batch
+    q_idx = lambda j, b, *_: (b, j, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_super, nb),
+        in_specs=[
+            pl.BlockSpec((1, block * t_sb, f_pad), q_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block * t_sb, window), s_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, block * t_sb, f_pad), q_idx,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * buf, f_pad), k_pad.dtype),
+            pltpu.VMEM((2 * buf, f_pad), v_pad.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(_attn_fwd_kernel_b, window, buf, t_sb,
+                               num_super, nb, scale)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, n_pad, f_pad), v_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * nb * n_pad * window * f_pad,
+            bytes_accessed=4 * k_pad.size * k_pad.dtype.itemsize
+            + s_mat.size * s_mat.dtype.itemsize
+            + 2 * nb * n_pad * f_pad * q_pad.dtype.itemsize,
+            transcendentals=nb * n_pad * window,
+        ),
+        interpret=_interpret(),
+    )(off, xbase, q_pad, s_mat, k_pad, v_pad)
+
+
 def _attn_bwd_kernel(window, buf, t_sb, num_super, scale,
                      off_ref, xb_ref, q_ref, g_ref, s_ref, k_hbm, v_hbm,
                      dq_ref, dl_ref, p_ref, kbuf, vbuf, sems):
@@ -668,6 +778,238 @@ def _attn_bwd_impl(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
     )(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad)
 
 
+def _attn_bwd_kernel_b(window, buf, t_sb, num_super, nb, scale,
+                       off_ref, xb_ref, q_ref, g_ref, s_ref, k_hbm, v_hbm,
+                       dq_ref, dl_ref, p_ref, kbuf, vbuf, sems):
+    """Batched fused backward: same 2-D grid / S-tile-reuse layout as the
+    batched forward; emits dQ, dL, P per batch entry for the source-side
+    transpose passes."""
+    j = pl.program_id(0)
+    b = pl.program_id(1)
+    step = j * nb + b
+    total = num_super * nb
+    block = q_ref.shape[1] // t_sb
+
+    def dma(hbm, dst, s_idx, slot, k):
+        jj = s_idx // nb
+        bb = jax.lax.rem(s_idx, nb)
+        base = pl.multiple_of(xb_ref[jj], block)
+        return pltpu.make_async_copy(
+            hbm.at[bb, pl.ds(base, buf), :],
+            dst.at[pl.ds(slot * buf, buf), :],
+            sems.at[slot, k],
+        )
+
+    def start(s_idx, slot):
+        dma(k_hbm, kbuf, s_idx, slot, 0).start()
+        dma(v_hbm, vbuf, s_idx, slot, 1).start()
+
+    @pl.when(step == 0)
+    def _():
+        start(0, 0)
+        if total > 1:
+            start(jnp.int32(1), 1)
+
+    slot = jax.lax.rem(step, 2)
+    dma(k_hbm, kbuf, step, slot, 0).wait()
+    dma(v_hbm, vbuf, step, slot, 1).wait()
+
+    prec = jax.lax.Precision.HIGHEST if kbuf.dtype == jnp.float32 else None
+    nt = (((1,), (1,)), ((), ()))
+    for t in range(t_sb):
+        off = pl.multiple_of(off_ref[j * t_sb + t], block)
+        kw = kbuf[pl.ds(slot * buf + off, window), :]
+        vw = vbuf[pl.ds(slot * buf + off, window), :]
+        rows = slice(t * block, (t + 1) * block)
+        scores = jax.lax.dot_general(
+            q_ref[0, rows, :], kw, nt,
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * scale
+        mask = s_ref[rows, :] != 0
+        logits = jnp.where(mask, scores, jnp.float32(-1e30))
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - mx) * mask
+        den = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / jnp.where(den == 0, 1.0, den)
+        dp = jax.lax.dot_general(
+            g_ref[0, rows, :], vw, nt,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+        dq_ref[0, rows, :] = jnp.dot(
+            dl.astype(kbuf.dtype), kw,
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(dq_ref.dtype)
+        dl_ref[0, rows, :] = dl.astype(dl_ref.dtype)
+        p_ref[0, rows, :] = p.astype(p_ref.dtype)
+
+    @pl.when(step + 2 < total)
+    def _():
+        start(jnp.minimum(step + 2, total - 1), slot)
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+def _attn_bwd_impl_b(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
+                     block, window, t_sb, scale):
+    nb, n_pad, f_pad = q_pad.shape
+    num_super = n_pad // (block * t_sb)
+    buf = window + (t_sb - 1) * block
+
+    s_idx = lambda j, b, *_: (j, 0)  # noqa: E731
+    q_idx = lambda j, b, *_: (b, j, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_super, nb),
+        in_specs=[
+            pl.BlockSpec((1, block * t_sb, f_pad), q_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block * t_sb, f_pad), q_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block * t_sb, window), s_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block * t_sb, f_pad), q_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block * t_sb, window), q_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block * t_sb, window), q_idx,
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * buf, f_pad), k_pad.dtype),
+            pltpu.VMEM((2 * buf, f_pad), v_pad.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(_attn_bwd_kernel_b, window, buf, t_sb,
+                               num_super, nb, scale)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, n_pad, f_pad), q_pad.dtype),
+            jax.ShapeDtypeStruct((nb, n_pad, window), q_pad.dtype),
+            jax.ShapeDtypeStruct((nb, n_pad, window), q_pad.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * nb * n_pad * window * f_pad,
+            bytes_accessed=4 * k_pad.size * k_pad.dtype.itemsize
+            + s_mat.size * s_mat.dtype.itemsize
+            + nb * (3 * n_pad * f_pad + 2 * n_pad * window)
+            * q_pad.dtype.itemsize,
+            transcendentals=nb * n_pad * window,
+        ),
+        interpret=_interpret(),
+    )(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad)
+
+
+def _spmm_t_kernel_b(m_max, t_sb, nb,
+                     tlo_ref, tcnt_ref, off_ref, xb_ref, s_hbm, g_hbm,
+                     out_ref, sbuf, gbuf, acc, sems):
+    """Batched transpose kernel: grid ``(ns_blocks, nb)``; S tiles and g
+    tiles are per-batch runtime data, so each (c, b) step runs the same
+    covering-range accumulation as the unbatched kernel against batch
+    entry ``b``."""
+    c = pl.program_id(0)
+    b = pl.program_id(1)
+    block = out_ref.shape[1]
+
+    def _rc(m):
+        j = tlo_ref[c] + m
+        start = xb_ref[j // t_sb] + off_ref[j]
+        r0 = pl.multiple_of(j * block, block)
+        c0 = pl.multiple_of(c * block - start, block)
+        return r0, c0
+
+    def sdma(m, slot):
+        r0, c0 = _rc(m)
+        return pltpu.make_async_copy(
+            s_hbm.at[b, pl.ds(r0, block), pl.ds(c0, block)],
+            sbuf.at[pl.ds(slot * block, block), :],
+            sems.at[slot, 0],
+        )
+
+    def gdma(m, slot):
+        r0, _ = _rc(m)
+        return pltpu.make_async_copy(
+            g_hbm.at[b, pl.ds(r0, block), :],
+            gbuf.at[pl.ds(slot * block, block), :],
+            sems.at[slot, 1],
+        )
+
+    def start(m, slot):
+        @pl.when(m < tcnt_ref[c])
+        def _():
+            sdma(m, slot).start()
+            gdma(m, slot).start()
+
+    start(0, 0)
+    if m_max > 1:
+        start(jnp.int32(1), 1)
+    acc[:] = jnp.zeros_like(acc)
+
+    prec = jax.lax.Precision.HIGHEST if gbuf.dtype == jnp.float32 else None
+    for m in range(m_max):
+        slot = m % 2
+
+        @pl.when(m < tcnt_ref[c])
+        def _(m=m, slot=slot):
+            sdma(m, slot).wait()
+            gdma(m, slot).wait()
+            s_t = sbuf[slot * block:(slot + 1) * block, :]
+            g_t = gbuf[slot * block:(slot + 1) * block, :]
+            acc[:] += jax.lax.dot_general(
+                s_t, g_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            if m + 2 < m_max:
+                start(jnp.int32(m + 2), slot)
+
+    out_ref[0] = acc[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def _spmm_t_impl_b(t_lo, t_cnt, off, xbase, s_mat, g_pad, block, t_sb,
+                   m_max):
+    ns_blocks = t_lo.shape[0]
+    nb, _, f_pad = g_pad.shape
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ns_blocks, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, block, f_pad), lambda c, b, *_: (b, c, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * block, block), s_mat.dtype),
+            pltpu.VMEM((2 * block, f_pad), g_pad.dtype),
+            pltpu.VMEM((block, f_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(_spmm_t_kernel_b, m_max, t_sb, nb)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, ns_blocks * block, f_pad),
+                                       g_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * ns_blocks * block * m_max * block * f_pad,
+            bytes_accessed=nb * (s_mat.size // nb if nb else 0)
+            * s_mat.dtype.itemsize
+            + m_max * g_pad.size * g_pad.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(t_lo, t_cnt, off, xbase, s_mat, g_pad)
+
+
 def _masked_softmax(s_mat, scores: Array) -> Array:
     """Masked softmax over the window axis (f32 in, f32 out)."""
     mask = s_mat != 0
@@ -681,14 +1023,14 @@ def _masked_softmax(s_mat, scores: Array) -> Array:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def _attn_fused_diff(off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp,
                      block, window, t_sb, m_max, scale):
-    return _attn_fwd_impl(off, xbase, qp, s_mat, kp, vp,
-                          block, window, t_sb, scale)
+    impl = _attn_fwd_impl_b if qp.ndim == 3 else _attn_fwd_impl
+    return impl(off, xbase, qp, s_mat, kp, vp, block, window, t_sb, scale)
 
 
 def _attn_fused_fwd(off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp,
                     block, window, t_sb, m_max, scale):
-    out = _attn_fwd_impl(off, xbase, qp, s_mat, kp, vp,
-                         block, window, t_sb, scale)
+    impl = _attn_fwd_impl_b if qp.ndim == 3 else _attn_fwd_impl
+    out = impl(off, xbase, qp, s_mat, kp, vp, block, window, t_sb, scale)
     return out, (off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp)
 
 
@@ -699,8 +1041,9 @@ def _attn_fused_bwd(block, window, t_sb, m_max, scale, res, g):
     transpose passes produce dK and dV."""
     off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp = res
     g = g.astype(vp.dtype)
-    dq, dl, p = _attn_bwd_impl(off, xbase, qp, g, s_mat, kp, vp,
-                               block, window, t_sb, scale)
+    bwd = _attn_bwd_impl_b if qp.ndim == 3 else _attn_bwd_impl
+    dq, dl, p = bwd(off, xbase, qp, g, s_mat, kp, vp,
+                    block, window, t_sb, scale)
     dk = _spmm_t_chunked(t_lo, t_cnt, off, xbase, dl, qp, block, t_sb,
                          m_max)
     dv = _spmm_t_chunked(t_lo, t_cnt, off, xbase, p, g, block, t_sb, m_max)
@@ -736,6 +1079,30 @@ def windowed_attention(graph: DiagWindowGraph, q: Array, k: Array, v: Array,
     if backend != "reference":
         _require_tables(graph, "windowed_attention")
     leading = q.shape[:-2]
+    n, f = q.shape[-2:]
+    if scale is None:
+        scale = 1.0 / (f ** 0.5)
+
+    if backend in ("auto", "pallas"):
+        # Leading dims (batch, folded heads) ride the batched kernels: one
+        # call, 2-D grid, the S-mask tile streamed once per superblock and
+        # reused across the batch (was a per-sample Python loop).
+        f_pad = _round_up(f, 128)
+        qp = _pad_rows(q.reshape((-1,) + q.shape[-2:]) if leading else q,
+                       graph.num_padded_nodes, f_pad)
+        kp = _pad_rows(k.reshape((-1,) + k.shape[-2:]) if leading else k,
+                       graph.num_src_rows, f_pad)
+        vp = _pad_rows(v.reshape((-1,) + v.shape[-2:]) if leading else v,
+                       graph.num_src_rows, f_pad)
+        out = _attn_fused_diff(
+            graph.offsets, graph.xbase, graph.s_mat, graph.t_lo,
+            graph.t_cnt, qp, kp, vp, graph.block_size, graph.window_size,
+            graph.superblock, graph.t_max, float(scale))
+        out = out[..., :n, :f]
+        if leading:
+            out = out.reshape(leading + out.shape[-2:])
+        return out
+
     if leading:
         qb = q.reshape((-1,) + q.shape[-2:])
         kb = k.reshape((-1,) + k.shape[-2:])
@@ -746,21 +1113,6 @@ def windowed_attention(graph: DiagWindowGraph, q: Array, k: Array, v: Array,
             for b in range(qb.shape[0])
         ])
         return out.reshape(leading + out.shape[-2:])
-
-    n, f = q.shape
-    if scale is None:
-        scale = 1.0 / (f ** 0.5)
-
-    if backend in ("auto", "pallas"):
-        f_pad = _round_up(f, 128)
-        qp = _pad_rows(q, graph.num_padded_nodes, f_pad)
-        kp = _pad_rows(k, graph.num_src_rows, f_pad)
-        vp = _pad_rows(v, graph.num_src_rows, f_pad)
-        out = _attn_fused_diff(
-            graph.offsets, graph.xbase, graph.s_mat, graph.t_lo,
-            graph.t_cnt, qp, kp, vp, graph.block_size, graph.window_size,
-            graph.superblock, graph.t_max, float(scale))
-        return out[:n, :f]
 
     if backend == "reference":
         scores = diag_sddmm_reference(graph, q, k)

@@ -1045,6 +1045,150 @@ def _diag_impl(off, xbase, estart, s_mat, lrow, fix, x_pad,
     )(*call_args)
 
 
+def _diag_kernel_b(window, buf, t_sb, num_super, nb, cnt_pad, *refs):
+    """Batched diag kernel: 2-D grid ``(num_super, nb)`` with the batch axis
+    innermost, so each streamed (block·t_sb, window) S tile is fetched ONCE
+    per superblock and reused across all ``nb`` batch entries (S traffic
+    ÷ nb vs per-sample dispatches — the S stream is the measured wall at
+    F=256). x/fix stay in natural (B, rows, F) layout; each grid step DMAs
+    one (j, b) union window, double-buffered over the flattened step index."""
+    has_esc = cnt_pad > 0
+    if has_esc:
+        (off_ref, xb_ref, es_ref, s_ref, lrow_ref, fix_hbm, x_hbm,
+         out_ref, xbuf, fbuf, sems, fsems) = refs
+    else:
+        off_ref, xb_ref, s_ref, x_hbm, out_ref, xbuf, sems = refs
+    j = pl.program_id(0)
+    b = pl.program_id(1)
+    step = j * nb + b
+    total = num_super * nb
+    block = s_ref.shape[0] // t_sb
+
+    def dma(s_idx, slot):
+        jj = s_idx // nb
+        bb = jax.lax.rem(s_idx, nb)
+        base = pl.multiple_of(xb_ref[jj], block)
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(base, buf), :],
+            xbuf.at[pl.ds(slot * buf, buf), :],
+            sems.at[slot],
+        )
+
+    def fdma(s_idx, slot, t):
+        jj = s_idx // nb
+        bb = jax.lax.rem(s_idx, nb)
+        return pltpu.make_async_copy(
+            fix_hbm.at[bb, pl.ds(pl.multiple_of(es_ref[jj * t_sb + t], 8),
+                                 cnt_pad), :],
+            fbuf.at[pl.ds((slot * t_sb + t) * cnt_pad, cnt_pad), :],
+            fsems.at[slot, t],
+        )
+
+    def start_all(s_idx, slot):
+        dma(s_idx, slot).start()
+        if has_esc:
+            for t in range(t_sb):
+                fdma(s_idx, slot, t).start()
+
+    @pl.when(step == 0)
+    def _():
+        start_all(0, 0)
+        if total > 1:
+            start_all(jnp.int32(1), 1)
+
+    slot = jax.lax.rem(step, 2)
+    dma(step, slot).wait()
+    if has_esc:
+        for t in range(t_sb):
+            fdma(step, slot, t).wait()
+
+    prec = jax.lax.Precision.HIGHEST if xbuf.dtype == jnp.float32 else None
+    for t in range(t_sb):
+        off = pl.multiple_of(off_ref[j * t_sb + t], block)
+        xw = xbuf[pl.ds(slot * buf + off, window), :]
+        acc = jnp.dot(
+            s_ref[t * block:(t + 1) * block, :].astype(xbuf.dtype), xw,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        if has_esc:
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (block, cnt_pad), 0)
+                == lrow_ref[t, :].reshape(1, cnt_pad)
+            ).astype(xbuf.dtype)
+            fchunk = fbuf[pl.ds((slot * t_sb + t) * cnt_pad, cnt_pad), :]
+            acc = acc + jnp.dot(
+                onehot, fchunk,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        out_ref[0, t * block:(t + 1) * block, :] = acc.astype(out_ref.dtype)
+
+    @pl.when(step + 2 < total)
+    def _():
+        start_all(jnp.minimum(step + 2, total - 1), slot)
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+def _diag_impl_b(off, xbase, estart, s_mat, lrow, fix, x_pad,
+                 block, window, t_sb, cnt_pad):
+    """Batched ``_diag_impl``: ``x_pad`` is (B, src, F); out (B, n_pad, F).
+    Per-step VMEM is identical to the unbatched kernel (one (j, b) window
+    at a time) — only the grid grows."""
+    n_pad = s_mat.shape[0]
+    nb, _, f_pad = x_pad.shape
+    num_super = n_pad // (block * t_sb)
+    buf = window + (t_sb - 1) * block
+    has_esc = cnt_pad > 0
+
+    s_idx = lambda j, b, *_: (j, 0)  # noqa: E731 — S reused across batch
+    o_idx = lambda j, b, *_: (b, j, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((block * t_sb, window), s_idx, memory_space=pltpu.VMEM),
+    ]
+    args = [off, xbase]
+    scratch = [
+        pltpu.VMEM((2 * buf, f_pad), x_pad.dtype),
+    ]
+    if has_esc:
+        args.append(estart)
+        in_specs.append(
+            pl.BlockSpec((t_sb, cnt_pad), s_idx, memory_space=pltpu.VMEM)
+        )
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch.append(pltpu.VMEM((2 * t_sb * cnt_pad, f_pad), x_pad.dtype))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    if has_esc:
+        scratch.append(pltpu.SemaphoreType.DMA((2, t_sb)))
+        call_args = args + [s_mat, lrow, fix, x_pad]
+    else:
+        call_args = args + [s_mat, x_pad]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3 if has_esc else 2,
+        grid=(num_super, nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block * t_sb, f_pad), o_idx,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    kernel = functools.partial(_diag_kernel_b, window, buf, t_sb, num_super,
+                               nb, cnt_pad if has_esc else 0)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, n_pad, f_pad), x_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * n_pad * (window + (cnt_pad if has_esc else 0))
+            * f_pad,
+            bytes_accessed=s_mat.size * s_mat.dtype.itemsize
+            + 2 * x_pad.size * x_pad.dtype.itemsize
+            + (fix.size * fix.dtype.itemsize if has_esc else 0),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(*call_args)
+
+
 def _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
                     block, window, t_sb, w_chunk, cnt_pad, e2_static):
     """Full composite: escape contributions gathered into the (U, F) fix
@@ -1055,7 +1199,9 @@ def _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
     space, and one gather back to placement (receiver-sorted) order —
     replacing the per-edge ELL gather whose random 512 B row reads cost
     ~12 ns each."""
-    f_pad = xp.shape[1]
+    f_pad = xp.shape[-1]
+    batched = xp.ndim == 3
+    impl = _diag_impl_b if batched else _diag_impl
     fix = None
     if e2 is not None:
         from gwen_tpu.graph.graph import SlidingDenseGraph
@@ -1067,21 +1213,21 @@ def _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
             num_nodes=n2, num_edges=ne2, block_size=b2, window_size=w2,
             max_delta_blocks=md2, num_src_rows=sr2,
         )
-        xc2 = jnp.take(xp, e2_src, axis=0)
+        xc2 = jnp.take(xp, e2_src, axis=-2)
         fixc2 = _spmm_sliding_dense_core(g2, xc2)
-        fix = jnp.take(fixc2, e2_back, axis=0).astype(xp.dtype)
+        fix = jnp.take(fixc2, e2_back, axis=-2).astype(xp.dtype)
     elif nbr is not None:
         fix = _escape_rows_fix(nbr, w, xp).astype(xp.dtype)
     outs = []
     for c0 in range(0, f_pad, w_chunk):
         wc = min(w_chunk, f_pad - c0)
-        outs.append(_diag_impl(
+        outs.append(impl(
             off, xbase, estart, s_mat, lrow,
-            None if fix is None else fix[:, c0:c0 + wc],
-            xp[:, c0:c0 + wc],
+            None if fix is None else fix[..., c0:c0 + wc],
+            xp[..., c0:c0 + wc],
             block, window, t_sb, cnt_pad if fix is not None else 0,
         ))
-    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
@@ -1095,7 +1241,7 @@ def _diag_comp_fwd(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
                    block, window, t_sb, w_chunk, cnt_pad, e2_static):
     out = _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
                           block, window, t_sb, w_chunk, cnt_pad, e2_static)
-    return out, (off, xbase, s_mat, nbr, w, estart, lrow, e2, xp.shape[0])
+    return out, (off, xbase, s_mat, nbr, w, estart, lrow, e2, xp.shape[-2])
 
 
 def _diag_comp_bwd(block, window, t_sb, w_chunk, cnt_pad, e2_static, res, g):
@@ -1104,11 +1250,11 @@ def _diag_comp_bwd(block, window, t_sb, w_chunk, cnt_pad, e2_static, res, g):
     # same composite applied to the cotangent's source-row slice.
     off, xbase, s_mat, nbr, w, estart, lrow, e2, src_rows = res
     gx = _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2,
-                         g[:src_rows], block, window, t_sb, w_chunk, cnt_pad,
-                         e2_static)
+                         g[..., :src_rows, :], block, window, t_sb, w_chunk,
+                         cnt_pad, e2_static)
     return (None, None, None, None, None, None, None,
             None if e2 is None else (None,) * len(e2),
-            gx[:src_rows].astype(g.dtype))
+            gx[..., :src_rows, :].astype(g.dtype))
 
 
 _diag_comp_diff.defvjp(_diag_comp_fwd, _diag_comp_bwd)
@@ -1140,14 +1286,9 @@ def _spmm_diag_window_core(graph, x: Array, f_blk: "int | None" = None) -> Array
     f_pad = _round_up(f, 128)
     itemsize = jnp.dtype(x.dtype).itemsize
 
-    if leading:
-        xb = x.reshape((-1,) + x.shape[-2:])
-        out = jnp.stack([_spmm_diag_window_core(graph, xb[b])
-                         for b in range(xb.shape[0])])
-        return out.reshape(leading + out.shape[-2:])
-
     # Column chunk: double x buffers + the double-buffered escape-fix
-    # slices must fit the VMEM budget.
+    # slices must fit the VMEM budget (per-step cost is identical for the
+    # batched kernel — one (j, b) window buffers at a time).
     esc = graph.escape
     row_cost = 2 * graph.buf_rows + (
         2 * graph.superblock * graph.esc_cnt_pad if esc is not None else 0
@@ -1158,8 +1299,18 @@ def _spmm_diag_window_core(graph, x: Array, f_blk: "int | None" = None) -> Array
         w_chunk = min(w_chunk, max(_round_up(f_blk, 128), 128))
     w_chunk = min(w_chunk, f_pad)
 
-    xp = jnp.zeros((src_alloc, f_pad), x.dtype)
-    xp = xp.at[: min(n, src_alloc), :f].set(x[: min(n, src_alloc)])
+    if leading:
+        # Batched path: one kernel call over a (B, src, F) natural layout —
+        # the 2-D grid streams each S tile once and reuses it across the
+        # batch (per-sample dispatches re-stream S B times).
+        xb = x.reshape((-1,) + x.shape[-2:])
+        nb = xb.shape[0]
+        xp = jnp.zeros((nb, src_alloc, f_pad), x.dtype)
+        rows = min(n, src_alloc)
+        xp = xp.at[:, :rows, :f].set(xb[:, :rows])
+    else:
+        xp = jnp.zeros((src_alloc, f_pad), x.dtype)
+        xp = xp.at[: min(n, src_alloc), :f].set(x[: min(n, src_alloc)])
 
     e2 = e2_static = None
     g2 = graph.esc2_graph
@@ -1176,7 +1327,10 @@ def _spmm_diag_window_core(graph, x: Array, f_blk: "int | None" = None) -> Array
         graph.block_size, graph.window_size, graph.superblock, w_chunk,
         graph.esc_cnt_pad, e2_static,
     )
-    return out[: graph.num_nodes, :f]
+    out = out[..., : graph.num_nodes, :f]
+    if leading:
+        out = out.reshape(leading + out.shape[-2:])
+    return out
 
 
 # --------------------------------- bit-packed rank-1 sliding kernel (v5)

@@ -215,21 +215,12 @@ def _diag_halo_local(graph: "HaloDiagGraph", x_ext: Array,
     from gwen_tpu.ops.spmm_pallas import (
         _SLIDING_RING_VMEM_BYTES,
         _diag_impl,
+        _diag_impl_b,
         _round_up as _ru,
     )
 
     leading = x_ext.shape[:-2]
     f = x_ext.shape[-1]
-    if leading:
-        xb = x_ext.reshape((-1,) + x_ext.shape[-2:])
-        fb = (None if fix is None
-              else fix.reshape((-1,) + fix.shape[-2:]))
-        out = jnp.stack([
-            _diag_halo_local(graph, xb[b], None if fb is None else fb[b])
-            for b in range(xb.shape[0])
-        ])
-        return out.reshape(leading + out.shape[-2:])
-
     f_pad = _ru(f, 128)
     itemsize = jnp.dtype(x_ext.dtype).itemsize
     buf = graph.window_size + (graph.superblock - 1) * graph.block_size
@@ -239,24 +230,44 @@ def _diag_halo_local(graph: "HaloDiagGraph", x_ext: Array,
     w_budget = _SLIDING_RING_VMEM_BYTES // (row_cost * itemsize)
     w_chunk = min(max((w_budget // 128) * 128, 128), f_pad)
 
-    xp = jnp.zeros((graph.ext_rows, f_pad), x_ext.dtype)
-    xp = xp.at[:, :f].set(x_ext)
-    fp = None
-    if fix is not None:
-        fp = jnp.zeros((fix.shape[0], f_pad), x_ext.dtype)
-        fp = fp.at[:, :f].set(fix.astype(x_ext.dtype))
+    if leading:
+        # Batched: one 2-D-grid kernel call, S tile streamed once per
+        # superblock and reused across the batch (was a per-sample Python
+        # loop — B dispatches and B× S traffic).
+        xb = x_ext.reshape((-1,) + x_ext.shape[-2:])
+        nb = xb.shape[0]
+        xp = jnp.zeros((nb, graph.ext_rows, f_pad), x_ext.dtype)
+        xp = xp.at[:, :, :f].set(xb)
+        fp = None
+        if fix is not None:
+            fb = fix.reshape((-1,) + fix.shape[-2:])
+            fp = jnp.zeros((nb, fb.shape[1], f_pad), x_ext.dtype)
+            fp = fp.at[:, :, :f].set(fb.astype(x_ext.dtype))
+        impl = _diag_impl_b
+    else:
+        xp = jnp.zeros((graph.ext_rows, f_pad), x_ext.dtype)
+        xp = xp.at[:, :f].set(x_ext)
+        fp = None
+        if fix is not None:
+            fp = jnp.zeros((fix.shape[0], f_pad), x_ext.dtype)
+            fp = fp.at[:, :f].set(fix.astype(x_ext.dtype))
+        impl = _diag_impl
+
     outs = []
     for c0 in range(0, f_pad, w_chunk):
         wc = min(w_chunk, f_pad - c0)
-        outs.append(_diag_impl(
+        outs.append(impl(
             graph.offsets, graph.xbase, graph.esc_start, graph.s_mat,
-            graph.esc_lrow, None if fp is None else fp[:, c0:c0 + wc],
-            xp[:, c0:c0 + wc],
+            graph.esc_lrow, None if fp is None else fp[..., c0:c0 + wc],
+            xp[..., c0:c0 + wc],
             graph.block_size, graph.window_size, graph.superblock,
             graph.cnt_pad if fp is not None else 0,
         ))
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
-    return out[:, :f]
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    out = out[..., :f]
+    if leading:
+        out = out.reshape(leading + out.shape[-2:])
+    return out
 
 
 def _diag_halo_reference(graph: "HaloDiagGraph", x_ext: Array,
@@ -360,26 +371,25 @@ def _attn_halo_kernel(graph: HaloDiagGraph, q: Array, k_ext: Array,
 
     leading = q.shape[:-2]
     f = q.shape[-1]
-    if leading:
-        qb = q.reshape((-1,) + q.shape[-2:])
-        kb = k_ext.reshape((-1,) + k_ext.shape[-2:])
-        vb = v_ext.reshape((-1,) + v_ext.shape[-2:])
-        out = jnp.stack([
-            _attn_halo_kernel(graph, qb[b], kb[b], vb[b], scale)
-            for b in range(qb.shape[0])
-        ])
-        return out.reshape(leading + out.shape[-2:])
-
     f_pad = _ru(f, 128)
-    qp = _pad_rows(q, graph.n_local, f_pad)
-    kp = _pad_rows(k_ext, graph.ext_rows, f_pad)
-    vp = _pad_rows(v_ext, graph.ext_rows, f_pad)
+    # Leading dims (batch, folded heads) ride the batched fused kernel in
+    # one call — the S-mask tile streams once per superblock and is reused
+    # across the batch (was a per-sample Python loop).
+    qp = _pad_rows(q.reshape((-1,) + q.shape[-2:]) if leading else q,
+                   graph.n_local, f_pad)
+    kp = _pad_rows(k_ext.reshape((-1,) + k_ext.shape[-2:]) if leading
+                   else k_ext, graph.ext_rows, f_pad)
+    vp = _pad_rows(v_ext.reshape((-1,) + v_ext.shape[-2:]) if leading
+                   else v_ext, graph.ext_rows, f_pad)
     out = _attn_fused_diff(
         graph.offsets, graph.xbase, graph.s_mat, graph.t_lo, graph.t_cnt,
         qp, kp, vp, graph.block_size, graph.window_size, graph.superblock,
         graph.t_max, float(scale),
     )
-    return out[:, :f]
+    out = out[..., :f]
+    if leading:
+        out = out.reshape(leading + out.shape[-2:])
+    return out
 
 
 def _attn_halo_reference(graph: HaloDiagGraph, q: Array, k_ext: Array,
