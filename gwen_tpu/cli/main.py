@@ -65,6 +65,9 @@ def main(argv: list[str] | None = None) -> int:
                           "from the run's levels)")
     exp.add_argument("--experiment", default="",
                      help="registry experiment (default: <run.experiment>_MESH)")
+    exp.add_argument("--rollout-steps", type=int, default=4,
+                     help="steps per dispatch in the scan-based rollout "
+                          "export (0 disables the rollout artifact)")
 
     prd = sub.add_parser("predict")
     prd.add_argument("--artifact", required=True, help="exported artifact dir")
@@ -78,7 +81,9 @@ def main(argv: list[str] | None = None) -> int:
     rns.add_argument("--root", default="runs")
 
     g = sub.add_parser("gif")
-    g.add_argument("--input", required=True, help="zarr store with (time, member, height, ncells)")
+    g.add_argument("--input", default=None,
+                   help="zarr store with (time, member, height, ncells); "
+                        "prompted interactively when omitted")
     g.add_argument("--var", default="theta_v")
     g.add_argument("--out", default="output")
     g.add_argument("--member", default=None, help="member index or id (default: all)")
@@ -125,7 +130,8 @@ def main(argv: list[str] | None = None) -> int:
         from gwen_tpu.cli.export_cli import export_main
 
         out = export_main(_cfg(args), out=args.out, data=args.data,
-                          experiment=args.experiment)
+                          experiment=args.experiment,
+                          rollout_steps=args.rollout_steps)
         print(json.dumps(out))
     elif args.cmd == "predict":
         from gwen_tpu.cli.export_cli import predict_main
@@ -166,6 +172,14 @@ def main(argv: list[str] | None = None) -> int:
         from gwen_tpu import viz
         from gwen_tpu.data import zarrstore
 
+        if args.input is None:
+            # Interactive fallback, matching the reference's bare-invocation
+            # prompts (create_gif.py:305-315: input() for file/var/out-dir).
+            args.input = input("Enter the path to the input zarr store: ").strip()
+            var = input(f"Enter the variable name [{args.var}]: ").strip()
+            out = input(f"Enter the output directory [{args.out}]: ").strip()
+            args.var = var or args.var
+            args.out = out or args.out
         arr = zarrstore.open_array(args.input)
         data = arr.read()
         members = arr.meta.get("members") or [str(i) for i in range(data.shape[1])]

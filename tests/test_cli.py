@@ -83,6 +83,20 @@ def test_cli_full_pipeline(workdir, tmp_path, capsys):
     assert len(out["gifs"]) == 1
 
 
+def test_cli_gif_interactive_fallback(workdir, capsys, monkeypatch):
+    """Bare `gif` invocation prompts for its inputs (reference parity:
+    create_gif.py:305-315 falls back to input() without argv)."""
+    wd, cfg = workdir
+    cli(["ingest", "--config", str(cfg)])
+    cli(["preprocess", "--config", str(cfg)])
+    capsys.readouterr()
+    answers = iter([str(wd / "test.zarr"), "", str(wd / "gifs_i")])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(answers))
+    assert cli(["gif", "--member", "0"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["gifs"]) == 1
+
+
 def test_cli_train_cnn(workdir, capsys):
     wd, cfg = workdir
     cli(["ingest", "--config", str(cfg)])

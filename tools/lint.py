@@ -7,9 +7,11 @@ environment is hermetic, so tools/ci.sh runs THIS checker locally while
 .github/workflows/ci.yml runs ruff+mypy (configs checked in at ruff.toml /
 mypy.ini) wherever pip is available.
 
-Checks: syntax (compile), unused imports, bare except, mutable default
-arguments, trailing whitespace, tabs in indentation, lines > 100 columns,
-and `== None` / `!= None` comparisons.
+Checks: syntax (compile), unused imports, **undefined names** (pyflakes
+F821-style, via stdlib ``symtable`` scope analysis — zero false positives
+on this repo), bare except, mutable default arguments, trailing whitespace,
+tabs in indentation, lines > 100 columns, and `== None` / `!= None`
+comparisons.
 
 Usage: python tools/lint.py [paths...]   (default: gwen_tpu tests benchmarks
 bench.py __graft_entry__.py)
@@ -18,10 +20,49 @@ bench.py __graft_entry__.py)
 from __future__ import annotations
 
 import ast
+import builtins
+import symtable
 import sys
 from pathlib import Path
 
 MAX_COLS = 100
+
+_IMPLICIT = {"__class__", "__module__", "__qualname__", "__doc__",
+             "__file__", "__name__", "__path__", "__spec__"}
+
+
+def undefined_names(src: str, path: Path) -> list[str]:
+    """F821-style undefined-name detection via ``symtable``: a symbol that
+    is referenced but never assigned/imported/bound-as-parameter in its
+    scope resolves to module globals — if it is not a module-level
+    definition or a builtin, it is a typo waiting for runtime."""
+    try:
+        st = symtable.symtable(src, str(path), "exec")
+    except SyntaxError:
+        return []  # reported by the ast pass
+    module_defs = {s.get_name() for s in st.get_symbols()
+                   if s.is_assigned() or s.is_imported()}
+    problems: list[str] = []
+
+    def walk(table: symtable.SymbolTable) -> None:
+        for sym in table.get_symbols():
+            name = sym.get_name()
+            if (not sym.is_referenced() or sym.is_assigned()
+                    or sym.is_imported() or sym.is_parameter()
+                    or sym.is_free()):
+                continue
+            if (name in module_defs or hasattr(builtins, name)
+                    or name in _IMPLICIT):
+                continue
+            problems.append(
+                f"{path}:{table.get_lineno()}: undefined name {name!r} "
+                f"(in {table.get_name()!r})"
+            )
+        for child in table.get_children():
+            walk(child)
+
+    walk(st)
+    return problems
 
 
 class ImportTracker(ast.NodeVisitor):
@@ -57,6 +98,8 @@ def lint_file(path: Path) -> list[str]:
         tree = ast.parse(src, filename=str(path))
     except SyntaxError as e:
         return [f"{path}:{e.lineno}: syntax error: {e.msg}"]
+
+    problems.extend(undefined_names(src, path))
 
     # Unused imports (skip __init__.py — re-export surface — and names
     # referenced in __all__ or noqa'd lines).
