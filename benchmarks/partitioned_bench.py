@@ -7,7 +7,9 @@ Pallas kernel compiles and executes INSIDE shard_map, exactly the multi-chip
 compute path — and compares against the global (non-partitioned) step.
 
 Usage: python benchmarks/partitioned_bench.py [level]   (default 7)
-Env: GWEN_PB_LAYOUT (sliding|dense|ell), GWEN_PB_ITERS.
+Env: GWEN_PB_LAYOUT (sliding|dense|ell|diag), GWEN_PB_ITERS,
+GWEN_PB_BATCH (leading batch per device; exercises the batched halo
+kernels), GWEN_PB_PROCESSOR (gcn|interaction|attention).
 
 Prints one JSON line: {"partitioned_step_ms", "global_step_ms", "ratio", ...}.
 """
@@ -48,6 +50,8 @@ def main() -> None:
     level = int(sys.argv[1]) if len(sys.argv) > 1 else 7
     layout = os.environ.get("GWEN_PB_LAYOUT", "diag")
     iters = int(os.environ.get("GWEN_PB_ITERS", "20"))
+    batch = int(os.environ.get("GWEN_PB_BATCH", "1"))
+    processor = os.environ.get("GWEN_PB_PROCESSOR", "gcn")
     feats, latent, steps = 256, 256, 4
 
     ordering = "kd" if layout == "diag" else "rcm"
@@ -81,6 +85,7 @@ def main() -> None:
     model = EncodeProcessDecode(
         channels_in=feats, channels_out=feats, latent_size=latent,
         process_steps=steps, compute_dtype=jnp.bfloat16,
+        processor=processor,
     )
     params = model.init(jax.random.key(0))
     opt = optax.adam(1e-4)
@@ -88,7 +93,9 @@ def main() -> None:
     apply_fn = make_partitioned_apply(model, pg, mesh)
     tables = apply_fn.tables
 
-    xp = jax.random.normal(jax.random.key(1), (pg.padded_nodes, feats), jnp.float32)
+    shape = ((batch, pg.padded_nodes, feats) if batch > 1
+             else (pg.padded_nodes, feats))
+    xp = jax.random.normal(jax.random.key(1), shape, jnp.float32)
     yp = xp * 0.9
 
     def part_step(st, tabs, xx, yy):
@@ -112,12 +119,14 @@ def main() -> None:
         from gwen_tpu.graph import to_diag_window
 
         graph = to_diag_window(g, window_size=384, dtype=jnp.bfloat16,
-                               device_build=True)
+                               device_build=True,
+                               transpose_tables=(processor == "attention"),
+                               n_pad=pg.num_parts * pg.n_local)
     else:
         graph = to_sliding_dense(g, dtype=jnp.bfloat16, device_build=True)
     graph = jax.device_put(graph)
-    xg = xp[:n]
-    yg = yp[:n]
+    xg = xp[..., :n, :]
+    yg = yp[..., :n, :]
 
     def glob_step(st, gr, xx, yy):
         def loss(p):
@@ -136,6 +145,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "partitioned_train_step_ms",
         "level": level, "nodes": n, "edges": edges, "layout": layout,
+        "batch": batch, "processor": processor,
         "mesh": {"data": 1, "graph": n_dev},
         "value": round(t_part * 1e3, 3), "unit": "ms",
         "global_step_ms": round(t_glob * 1e3, 3),

@@ -74,12 +74,14 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
     # (device_build=True), so placement cost is O(edges) regardless of S
     # size — the memory budget (S + x + grads + opt state within ~16 GB
     # HBM) is the only limit.
+    processor = os.environ.get("GWEN_SCALING_PROCESSOR", "gcn")
     if kernel == "diag":
         from gwen_tpu.graph import to_diag_window
 
         window = int(os.environ.get("GWEN_SCALING_WINDOW", "384"))
         graph = to_diag_window(g, window_size=window, dtype=jnp.bfloat16,
-                               device_build=True)
+                               device_build=True,
+                               transpose_tables=(processor == "attention"))
     elif kernel == "sdense":
         graph = to_windowed_dense(g, dtype=jnp.bfloat16, device_build=True)
     elif kernel == "sliding":
@@ -94,6 +96,8 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
         channels_in=feats, channels_out=feats, latent_size=latent,
         process_steps=steps, compute_dtype=jnp.bfloat16,
         remat=bool(int(os.environ.get("GWEN_SCALING_REMAT", "0"))),
+        processor=processor,
+        attn_heads=int(os.environ.get("GWEN_SCALING_HEADS", "2")),
     )
     params = model.init(jax.random.key(0))
     opt = optax.adam(1e-4)
@@ -140,6 +144,7 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
         "edges": edges,
         "batch": batch,
         "kernel": kernel,
+        "processor": processor,
         "fwd_ms": round(t_fwd * 1e3, 3),
         "train_step_ms": round(t_step * 1e3, 3),
         "fwd_edges_per_s": round(eff_edges / t_fwd, 1),
