@@ -95,7 +95,8 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
     model = EncodeProcessDecode(
         channels_in=feats, channels_out=feats, latent_size=latent,
         process_steps=steps, compute_dtype=jnp.bfloat16,
-        remat=bool(int(os.environ.get("GWEN_SCALING_REMAT", "0"))),
+        remat=(lambda r: r if r == "save_agg" else bool(int(r)))(
+            os.environ.get("GWEN_SCALING_REMAT", "0")),
         processor=processor,
         attn_heads=int(os.environ.get("GWEN_SCALING_HEADS", "2")),
     )
@@ -133,6 +134,19 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
         lambda xx, gr, p: model.apply(p, gr, xx), x, graph, state.params,
         iters=iters,
     )["mean_s"]
+    t_grad = None
+    if os.environ.get("GWEN_SCALING_SECTIONS"):
+        # value_and_grad WITHOUT the optimizer — isolates backward cost
+        # (step − grad ≈ adam update; grad − fwd ≈ pure backward).
+        def grad_only(p, gr, xx, yy):
+            def loss(pp):
+                pred = model.apply(pp, gr, xx)
+                return jnp.mean((pred - yy) ** 2)
+
+            return jax.grad(loss)(p)
+
+        t_grad = scan_timeit(grad_only, state.params, graph, x, y,
+                             iters=iters)["mean_s"]
     t_step = scan_timeit(
         lambda st, gr, xx, yy: train_step(st, gr, xx, yy)[0],
         state, graph, x, y, iters=iters,
@@ -146,7 +160,9 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
         "kernel": kernel,
         "processor": processor,
         "fwd_ms": round(t_fwd * 1e3, 3),
+        "grad_ms": (round(t_grad * 1e3, 3) if t_grad is not None else None),
         "train_step_ms": round(t_step * 1e3, 3),
+        "remat": str(os.environ.get("GWEN_SCALING_REMAT", "0")),
         "fwd_edges_per_s": round(eff_edges / t_fwd, 1),
         "train_edges_per_s": round(eff_edges * 3 / t_step, 1),  # fwd+bwd≈3x fwd aggs
     }

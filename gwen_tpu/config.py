@@ -157,7 +157,10 @@ class TrainConfig:
     checkpoint_every: int = 0  # steps; 0 = per-epoch best only
     max_checkpoints: int = 3
     log_every: int = 10
-    remat: bool = False  # jax.checkpoint the processor stack
+    # jax.checkpoint the processor stack: false | true (full per-step
+    # recompute) | "save_agg" (checkpoint aggregation outputs; the backward
+    # never re-runs the sparse kernel — the right default at L8+).
+    remat: "bool | str" = False
 
 
 @dataclass
@@ -296,7 +299,13 @@ def _coerce(current: Any, value: Any) -> Any:
     """Coerce ``value`` to the type of the existing field value."""
     if isinstance(current, bool):
         if isinstance(value, str):
-            return value.lower() in ("1", "true", "yes")
+            if value.lower() in ("1", "true", "yes"):
+                return True
+            if value.lower() in ("0", "false", "no"):
+                return False
+            # String-valued modes on bool-defaulted union fields
+            # (e.g. train.remat=save_agg).
+            return value
         return bool(value)
     if isinstance(current, int) and not isinstance(value, bool):
         return int(value)

@@ -82,7 +82,11 @@ class EncodeProcessDecode:
     residual: bool = True
     compute_dtype: jnp.dtype = jnp.float32
     backend: str = "auto"
-    remat: bool = False
+    # False | True (full per-step recompute) | "save_agg" (checkpoint the
+    # aggregation outputs so the backward never re-runs the sparse kernel —
+    # recompute only elementwise/matmul ops; ~1 extra (N, latent) live
+    # tensor per step of memory).
+    remat: "bool | str" = False
     # "gcn" (normalized-adjacency aggregation, MXU/Pallas paths),
     # "interaction" (MeshGraphNets-style edge-MLP messages; segment path),
     # or "attention" (windowed graph attention; diag-window layout).
@@ -128,12 +132,16 @@ class EncodeProcessDecode:
             def step(h, p):
                 return interaction_apply(p, graph, jax.nn.relu(h))
         elif self.processor == "attention":
+            from jax.ad_checkpoint import checkpoint_name
+
             from gwen_tpu.nn.attention import graph_attention_apply
+            from gwen_tpu.nn.layers import AGG_CKPT_NAME
 
             def step(h, p):
                 m = graph_attention_apply(p["attn"], graph, jax.nn.relu(h),
                                           heads=self.attn_heads,
                                           backend=self.backend)
+                m = checkpoint_name(m, AGG_CKPT_NAME)
                 m = core.layer_norm_apply(p["norm"], m)
                 return h + m if self.residual else m
         else:
@@ -142,7 +150,15 @@ class EncodeProcessDecode:
                 m = core.layer_norm_apply(p["norm"], m)
                 return h + m if self.residual else m
 
-        if self.remat:
+        if self.remat == "save_agg":
+            from gwen_tpu.nn.layers import AGG_CKPT_NAME
+
+            step = jax.checkpoint(
+                step,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    AGG_CKPT_NAME),
+            )
+        elif self.remat:
             step = jax.checkpoint(step, static_argnums=())
         for i in range(self.process_steps):
             h = step(h, params[f"process_{i}"])

@@ -16,11 +16,18 @@ bandwidth on wide layers.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from gwen_tpu.nn import core
 from gwen_tpu.ops.aggregate import aggregate
 
 Array = jnp.ndarray
+
+# Checkpoint tag on aggregation outputs: with EncodeProcessDecode's
+# ``remat="save_agg"`` policy the backward recomputes only the cheap
+# elementwise/matmul ops and NEVER re-runs the sparse aggregation kernel —
+# at L9 a recomputed agg costs ~18 ms each, 4 per step.
+AGG_CKPT_NAME = "gnn_agg"
 
 
 def gcn_init(key, d_in: int, d_out: int, dtype=jnp.float32) -> core.Params:
@@ -40,4 +47,5 @@ def gcn_apply(
     else:
         h = aggregate(graph, x, backend=backend)
         h = jnp.dot(h, w, preferred_element_type=x.dtype)
+    h = checkpoint_name(h, AGG_CKPT_NAME)
     return h + b
