@@ -53,18 +53,18 @@ def sample_perturbed_members(
     ``base_state``: (nodes, channels) → returns (K, nodes, channels).
     With a graph, noise is spatially correlated (physically plausible
     perturbations); without, white.
+
+    The member axis rides the batch-native aggregation kernels as a
+    leading dim — NOT ``jax.vmap``, whose Pallas batching rule cannot
+    lower the diag-window kernel's ANY-space escape operands on TPU.
     """
-    keys = jax.random.split(key, num_members)
-
-    def one(k):
-        if graph is not None:
-            eps = correlated_noise(k, graph, base_state.shape, smoothing_steps,
-                                   base_state.dtype)
-        else:
-            eps = jax.random.normal(k, base_state.shape, base_state.dtype)
-        return base_state + sigma * eps
-
-    return jax.vmap(one)(keys)
+    shape = (num_members,) + base_state.shape
+    if graph is not None:
+        eps = correlated_noise(key, graph, shape, smoothing_steps,
+                               base_state.dtype)
+    else:
+        eps = jax.random.normal(key, shape, base_state.dtype)
+    return base_state[None] + sigma * eps
 
 
 def rollout(
@@ -129,10 +129,11 @@ def generate_ensemble(
     def step(x):
         return model.apply(params, graph, x)
 
-    def roll_one(x0):
-        return rollout(step, x0, num_steps)
-
-    return jax.vmap(roll_one)(members)
+    # Members ride the batch-native kernels on the leading axis (one scan,
+    # one kernel dispatch per step for ALL members — also avoids the Pallas
+    # vmap batching rule, which cannot lower the diag kernel on TPU).
+    traj = rollout(step, members, num_steps)  # (T, K, nodes, channels)
+    return jnp.moveaxis(traj, 0, 1)
 
 
 def inflate_ensemble(

@@ -443,6 +443,23 @@ def diag_matvec_reference(graph: DiagWindowGraph, s: Array, x: Array) -> Array:
 
 # ------------------------------------------- fused attention forward
 
+def _tile_softmax(q_t, kw, s_t, scale, prec):
+    """Scores matmul + masked softmax for one (rows, window-or-block)
+    tile. Returns (p, logits, mask, mx, den) — ``p`` is the probability
+    tile (f32), ``mx``/``den`` the per-row (rows, 1) f32 max and
+    exp-sum softmax stats (``den == 0`` for all-masked rows)."""
+    scores = jax.lax.dot_general(
+        q_t, kw, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * scale
+    mask = s_t != 0
+    logits = jnp.where(mask, scores, jnp.float32(-1e30))
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - mx) * mask
+    den = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / jnp.where(den == 0, 1.0, den)
+    return p, logits, mask, mx, den
+
 
 def _attn_fwd_kernel(window, buf, t_sb, num_super, scale,
                      off_ref, xb_ref, q_ref, s_ref, k_hbm, v_hbm,
@@ -484,16 +501,8 @@ def _attn_fwd_kernel(window, buf, t_sb, num_super, scale,
         kw = kbuf[pl.ds(slot * buf + off, window), :]
         vw = vbuf[pl.ds(slot * buf + off, window), :]
         q_t = q_ref[t * block:(t + 1) * block, :]
-        scores = jax.lax.dot_general(
-            q_t, kw, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        ) * scale
-        mask = s_ref[t * block:(t + 1) * block, :] != 0
-        logits = jnp.where(mask, scores, jnp.float32(-1e30))
-        mx = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - mx) * mask
-        den = jnp.sum(p, axis=-1, keepdims=True)
-        p = p / jnp.where(den == 0, 1.0, den)
+        p, _, _, _, _ = _tile_softmax(q_t, kw, s_ref[t * block:(t + 1) * block, :],
+                                   scale, prec)
         out_ref[t * block:(t + 1) * block, :] = jnp.dot(
             p.astype(kbuf.dtype), vw,
             preferred_element_type=jnp.float32, precision=prec,
@@ -591,16 +600,8 @@ def _attn_fwd_kernel_b(window, buf, t_sb, num_super, nb, scale,
         kw = kbuf[pl.ds(slot * buf + off, window), :]
         vw = vbuf[pl.ds(slot * buf + off, window), :]
         q_t = q_ref[0, t * block:(t + 1) * block, :]
-        scores = jax.lax.dot_general(
-            q_t, kw, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        ) * scale
-        mask = s_ref[t * block:(t + 1) * block, :] != 0
-        logits = jnp.where(mask, scores, jnp.float32(-1e30))
-        mx = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - mx) * mask
-        den = jnp.sum(p, axis=-1, keepdims=True)
-        p = p / jnp.where(den == 0, 1.0, den)
+        p, _, _, _, _ = _tile_softmax(q_t, kw, s_ref[t * block:(t + 1) * block, :],
+                                   scale, prec)
         out_ref[0, t * block:(t + 1) * block, :] = jnp.dot(
             p.astype(kbuf.dtype), vw,
             preferred_element_type=jnp.float32, precision=prec,
@@ -656,17 +657,49 @@ def _attn_fwd_impl_b(off, xbase, q_pad, s_mat, k_pad, v_pad,
     )(off, xbase, q_pad, s_mat, k_pad, v_pad)
 
 
-def _attn_bwd_kernel(window, buf, t_sb, num_super, scale,
-                     off_ref, xb_ref, q_ref, g_ref, s_ref, k_hbm, v_hbm,
-                     dq_ref, dl_ref, p_ref, kbuf, vbuf, sems):
-    """Fused attention backward (destination side): per sub-block,
-    recompute the probability tile in-register (scores matmul + masked
-    softmax — cheaper than round-tripping the f32 (N_pad, W) tile through
-    HBM), form ``dP = g @ V_win^T`` on the MXU, the softmax cotangent
-    ``dL = P ⊙ (dP − rowsum(dP ⊙ P)) · scale`` on the VPU, and
-    ``dQ = dL @ K_win`` on the MXU. ``dL`` and ``P`` are emitted for the
-    two source-side transpose passes (dK, dV) that no destination-order
-    kernel can produce."""
+# ------------------------------------- flash backward: dQ (dst side)
+
+# Stats array emitted by the dQ kernel for the source-side dK/dV pass:
+# f32 ``(rows, 3*128)`` — lanes 0-127 broadcast the per-row softmax max
+# ``mx``, lanes 128-255 the exp-sum ``den`` (0 for all-masked rows), and
+# lanes 256-383 ``delta = rowsum(dP * P)``. Storing (mx, den) rather than
+# their LSE keeps the source-side P recompute BIT-IDENTICAL math to the
+# forward — an ``mx + log(den)`` round trip doubles the VPU
+# transcendental error and was measured at 5e-5 relative on dK/dV vs
+# ~1e-6 for this layout. Mosaic DMA slices along the lane axis must be
+# 128-aligned, so each stat occupies a full 128-lane column block (a
+# width-8 layout fails to lower: "Slice shape along dimension 1 must be
+# aligned to tiling (128)").
+_STATS_W = 384
+
+
+def _attn_dq_tile(q_t, kw, vw, s_t, g_t, scale, prec):
+    """Shared dQ tile computation: masked softmax (as in the forward),
+    ``dP = g @ V_win^T`` on the MXU, the softmax cotangent
+    ``dL = P ⊙ (dP − delta)·scale`` with ``delta = rowsum(dP ⊙ P)`` on the
+    VPU, and ``dQ = dL @ K_win``. Returns (dq_f32, mx, den, delta) — the
+    per-row stats the source-side pass needs to recompute P without
+    having full rows."""
+    p, _, _, mx, den = _tile_softmax(q_t, kw, s_t, scale, prec)
+    dp = jax.lax.dot_general(
+        g_t, vw, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    dl = p * (dp - delta) * scale
+    dq = jnp.dot(dl.astype(kw.dtype), kw,
+                 preferred_element_type=jnp.float32, precision=prec)
+    return dq, mx, den, delta
+
+
+def _attn_dq_kernel(window, buf, t_sb, num_super, scale,
+                    off_ref, xb_ref, q_ref, g_ref, s_ref,
+                    k_hbm, v_hbm, dq_ref, st_ref, kbuf, vbuf, sems):
+    """Destination-side half of the flash backward: emits dQ plus the
+    per-row softmax stats — unlike the pre-flash backward there is no
+    ``(N_pad, window)`` dL/P round trip through HBM (those tiles are
+    recomputed in-register source-side by :func:`_attn_dkdv_kernel`,
+    which is what the stats output exists for)."""
     j = pl.program_id(0)
     block = q_ref.shape[0] // t_sb
 
@@ -693,33 +726,19 @@ def _attn_bwd_kernel(window, buf, t_sb, num_super, scale,
     dma(v_hbm, vbuf, j, slot, 1).wait()
 
     prec = jax.lax.Precision.HIGHEST if kbuf.dtype == jnp.float32 else None
-    nt = (((1,), (1,)), ((), ()))
+    w1 = _STATS_W // 3
     for t in range(t_sb):
         off = pl.multiple_of(off_ref[j * t_sb + t], block)
         kw = kbuf[pl.ds(slot * buf + off, window), :]
         vw = vbuf[pl.ds(slot * buf + off, window), :]
         rows = slice(t * block, (t + 1) * block)
-        scores = jax.lax.dot_general(
-            q_ref[rows, :], kw, nt,
-            preferred_element_type=jnp.float32, precision=prec,
-        ) * scale
-        mask = s_ref[rows, :] != 0
-        logits = jnp.where(mask, scores, jnp.float32(-1e30))
-        mx = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - mx) * mask
-        den = jnp.sum(p, axis=-1, keepdims=True)
-        p = p / jnp.where(den == 0, 1.0, den)
-        dp = jax.lax.dot_general(
-            g_ref[rows, :], vw, nt,
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
-        dq_ref[rows, :] = jnp.dot(
-            dl.astype(kbuf.dtype), kw,
-            preferred_element_type=jnp.float32, precision=prec,
-        ).astype(dq_ref.dtype)
-        dl_ref[rows, :] = dl.astype(dl_ref.dtype)
-        p_ref[rows, :] = p.astype(p_ref.dtype)
+        dq, mx, den, delta = _attn_dq_tile(q_ref[rows, :], kw, vw,
+                                           s_ref[rows, :], g_ref[rows, :],
+                                           scale, prec)
+        dq_ref[rows, :] = dq.astype(dq_ref.dtype)
+        st_ref[rows, :w1] = jnp.broadcast_to(mx, (block, w1))
+        st_ref[rows, w1:2 * w1] = jnp.broadcast_to(den, (block, w1))
+        st_ref[rows, 2 * w1:] = jnp.broadcast_to(delta, (block, w1))
 
     @pl.when(j + 2 < num_super)
     def _():
@@ -727,8 +746,8 @@ def _attn_bwd_kernel(window, buf, t_sb, num_super, scale,
 
 
 @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
-def _attn_bwd_impl(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
-                   block, window, t_sb, scale):
+def _attn_dq_impl(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
+                  block, window, t_sb, scale):
     n_pad = q_pad.shape[0]
     f_pad = q_pad.shape[1]
     num_super = n_pad // (block * t_sb)
@@ -747,8 +766,8 @@ def _attn_bwd_impl(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
         ],
         out_specs=[
             pl.BlockSpec((block * t_sb, f_pad), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block * t_sb, window), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block * t_sb, window), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block * t_sb, _STATS_W), idx,
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2 * buf, f_pad), k_pad.dtype),
@@ -756,34 +775,31 @@ def _attn_bwd_impl(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
-    kernel = functools.partial(_attn_bwd_kernel, window, buf, t_sb,
+    kernel = functools.partial(_attn_dq_kernel, window, buf, t_sb,
                                num_super, scale)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, f_pad), q_pad.dtype),
-            jax.ShapeDtypeStruct((n_pad, window), q_pad.dtype),
-            jax.ShapeDtypeStruct((n_pad, window), q_pad.dtype),
+            jax.ShapeDtypeStruct((n_pad, _STATS_W), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=6 * n_pad * window * f_pad,
             bytes_accessed=4 * k_pad.size * k_pad.dtype.itemsize
             + s_mat.size * s_mat.dtype.itemsize
-            + (3 * n_pad * f_pad + 2 * n_pad * window)
-            * q_pad.dtype.itemsize,
+            + 3 * n_pad * f_pad * q_pad.dtype.itemsize
+            + 4 * n_pad * _STATS_W,
             transcendentals=n_pad * window,
         ),
         interpret=_interpret(),
     )(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad)
 
 
-def _attn_bwd_kernel_b(window, buf, t_sb, num_super, nb, scale,
-                       off_ref, xb_ref, q_ref, g_ref, s_ref, k_hbm, v_hbm,
-                       dq_ref, dl_ref, p_ref, kbuf, vbuf, sems):
-    """Batched fused backward: same 2-D grid / S-tile-reuse layout as the
-    batched forward; emits dQ, dL, P per batch entry for the source-side
-    transpose passes."""
+def _attn_dq_kernel_b(window, buf, t_sb, num_super, nb, scale,
+                      off_ref, xb_ref, q_ref, g_ref, s_ref,
+                      k_hbm, v_hbm, dq_ref, st_ref, kbuf, vbuf, sems):
+    """Batched dQ kernel (S-mask tile reused across the batch)."""
     j = pl.program_id(0)
     b = pl.program_id(1)
     step = j * nb + b
@@ -815,33 +831,19 @@ def _attn_bwd_kernel_b(window, buf, t_sb, num_super, nb, scale,
     dma(v_hbm, vbuf, step, slot, 1).wait()
 
     prec = jax.lax.Precision.HIGHEST if kbuf.dtype == jnp.float32 else None
-    nt = (((1,), (1,)), ((), ()))
+    w1 = _STATS_W // 3
     for t in range(t_sb):
         off = pl.multiple_of(off_ref[j * t_sb + t], block)
         kw = kbuf[pl.ds(slot * buf + off, window), :]
         vw = vbuf[pl.ds(slot * buf + off, window), :]
         rows = slice(t * block, (t + 1) * block)
-        scores = jax.lax.dot_general(
-            q_ref[0, rows, :], kw, nt,
-            preferred_element_type=jnp.float32, precision=prec,
-        ) * scale
-        mask = s_ref[rows, :] != 0
-        logits = jnp.where(mask, scores, jnp.float32(-1e30))
-        mx = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - mx) * mask
-        den = jnp.sum(p, axis=-1, keepdims=True)
-        p = p / jnp.where(den == 0, 1.0, den)
-        dp = jax.lax.dot_general(
-            g_ref[0, rows, :], vw, nt,
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
-        dq_ref[0, rows, :] = jnp.dot(
-            dl.astype(kbuf.dtype), kw,
-            preferred_element_type=jnp.float32, precision=prec,
-        ).astype(dq_ref.dtype)
-        dl_ref[0, rows, :] = dl.astype(dl_ref.dtype)
-        p_ref[0, rows, :] = p.astype(p_ref.dtype)
+        dq, mx, den, delta = _attn_dq_tile(q_ref[0, rows, :], kw, vw,
+                                           s_ref[rows, :],
+                                           g_ref[0, rows, :], scale, prec)
+        dq_ref[0, rows, :] = dq.astype(dq_ref.dtype)
+        st_ref[0, rows, :w1] = jnp.broadcast_to(mx, (block, w1))
+        st_ref[0, rows, w1:2 * w1] = jnp.broadcast_to(den, (block, w1))
+        st_ref[0, rows, 2 * w1:] = jnp.broadcast_to(delta, (block, w1))
 
     @pl.when(step + 2 < total)
     def _():
@@ -849,13 +851,13 @@ def _attn_bwd_kernel_b(window, buf, t_sb, num_super, nb, scale,
 
 
 @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
-def _attn_bwd_impl_b(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
-                     block, window, t_sb, scale):
+def _attn_dq_impl_b(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
+                    block, window, t_sb, scale):
     nb, n_pad, f_pad = q_pad.shape
     num_super = n_pad // (block * t_sb)
     buf = window + (t_sb - 1) * block
 
-    s_idx = lambda j, b, *_: (j, 0)  # noqa: E731
+    s_idx = lambda j, b, *_: (j, 0)  # noqa: E731 — S reused across batch
     q_idx = lambda j, b, *_: (b, j, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -873,9 +875,7 @@ def _attn_bwd_impl_b(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
         out_specs=[
             pl.BlockSpec((1, block * t_sb, f_pad), q_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block * t_sb, window), q_idx,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block * t_sb, window), q_idx,
+            pl.BlockSpec((1, block * t_sb, _STATS_W), q_idx,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -884,26 +884,347 @@ def _attn_bwd_impl_b(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
-    kernel = functools.partial(_attn_bwd_kernel_b, window, buf, t_sb,
+    kernel = functools.partial(_attn_dq_kernel_b, window, buf, t_sb,
                                num_super, nb, scale)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nb, n_pad, f_pad), q_pad.dtype),
-            jax.ShapeDtypeStruct((nb, n_pad, window), q_pad.dtype),
-            jax.ShapeDtypeStruct((nb, n_pad, window), q_pad.dtype),
+            jax.ShapeDtypeStruct((nb, n_pad, _STATS_W), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=6 * nb * n_pad * window * f_pad,
             bytes_accessed=4 * k_pad.size * k_pad.dtype.itemsize
             + s_mat.size * s_mat.dtype.itemsize
-            + nb * (3 * n_pad * f_pad + 2 * n_pad * window)
-            * q_pad.dtype.itemsize,
+            + 3 * nb * n_pad * f_pad * q_pad.dtype.itemsize
+            + 4 * nb * n_pad * _STATS_W,
             transcendentals=nb * n_pad * window,
         ),
         interpret=_interpret(),
     )(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad)
+
+
+# ------------------------------- flash backward: dK + dV (src side)
+
+
+def _attn_dkdv_tile(q_t, g_t, st_t, k_c, v_c, s_t, scale, prec):
+    """Shared dK/dV tile computation for one (dst sub-block j, src block
+    c) pair: recompute the P tile from the saved (mx, den) stats
+    (``p = exp(logits − mx)·mask / den`` — bit-identical to the
+    forward's softmax; no full-row pass is possible source-side, which
+    is why the stats exist), ``dP = G_j @ V_c^T``,
+    ``dL = P ⊙ (dP − delta_j)·scale``, and return the two transposed-MXU
+    accumulator contributions ``(dK_c += dL^T Q_j, dV_c += P^T G_j)``."""
+    w1 = _STATS_W // 3
+    scores = jax.lax.dot_general(
+        q_t, k_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * scale
+    mask = s_t != 0
+    logits = jnp.where(mask, scores, jnp.float32(-1e30))
+    den = st_t[:, w1:w1 + 1]
+    p = (jnp.exp(logits - st_t[:, 0:1]) * mask
+         / jnp.where(den == 0, 1.0, den))
+    dp = jax.lax.dot_general(
+        g_t, v_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dl = p * (dp - st_t[:, 2 * w1:2 * w1 + 1]) * scale
+    tt = (((0,), (0,)), ((), ()))  # contract the dst-rows axis
+    dk_contrib = jax.lax.dot_general(
+        dl.astype(q_t.dtype), q_t, tt,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dv_contrib = jax.lax.dot_general(
+        p.astype(g_t.dtype), g_t, tt,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    return dk_contrib, dv_contrib
+
+
+def _attn_dkdv_kernel(m_max, t_sb, scale,
+                      tlo_ref, tcnt_ref, off_ref, xb_ref,
+                      k_ref, v_ref, s_hbm, q_hbm, g_hbm, st_hbm,
+                      dk_ref, dv_ref, sbuf, qbuf, gbuf, stbuf,
+                      dkacc, dvacc, sems):
+    """Source-side half of the flash backward: ONE pass produces both dK
+    and dV by recomputing each ``(dst_block, src_block)`` probability tile
+    in-register from the saved LSE stats — replacing the pre-flash pair
+    of transpose-SpMM passes over HBM-materialized dL and P. The covering
+    sub-blocks of source block ``c`` are the contiguous range
+    ``[t_lo[c], t_lo[c]+t_cnt[c])`` (see graph.py diag transpose tables),
+    so the inner loop is a bounded static unroll like
+    :func:`_spmm_t_kernel`."""
+    c = pl.program_id(0)
+    block = dk_ref.shape[0]
+
+    def _rc(m):
+        j = tlo_ref[c] + m
+        start_ = xb_ref[j // t_sb] + off_ref[j]
+        r0 = pl.multiple_of(j * block, block)
+        c0 = pl.multiple_of(c * block - start_, block)
+        return r0, c0
+
+    def sdma(m, slot):
+        r0, c0 = _rc(m)
+        return pltpu.make_async_copy(
+            s_hbm.at[pl.ds(r0, block), pl.ds(c0, block)],
+            sbuf.at[pl.ds(slot * block, block), :],
+            sems.at[slot, 0],
+        )
+
+    def qdma(m, slot):
+        r0, _ = _rc(m)
+        return pltpu.make_async_copy(
+            q_hbm.at[pl.ds(r0, block), :],
+            qbuf.at[pl.ds(slot * block, block), :],
+            sems.at[slot, 1],
+        )
+
+    def gdma(m, slot):
+        r0, _ = _rc(m)
+        return pltpu.make_async_copy(
+            g_hbm.at[pl.ds(r0, block), :],
+            gbuf.at[pl.ds(slot * block, block), :],
+            sems.at[slot, 2],
+        )
+
+    def stdma(m, slot):
+        r0, _ = _rc(m)
+        return pltpu.make_async_copy(
+            st_hbm.at[pl.ds(r0, block), :],
+            stbuf.at[pl.ds(slot * block, block), :],
+            sems.at[slot, 3],
+        )
+
+    def start(m, slot):
+        @pl.when(m < tcnt_ref[c])
+        def _():
+            sdma(m, slot).start()
+            qdma(m, slot).start()
+            gdma(m, slot).start()
+            stdma(m, slot).start()
+
+    start(0, 0)
+    if m_max > 1:
+        start(jnp.int32(1), 1)
+    dkacc[:] = jnp.zeros_like(dkacc)
+    dvacc[:] = jnp.zeros_like(dvacc)
+
+    prec = jax.lax.Precision.HIGHEST if qbuf.dtype == jnp.float32 else None
+    for m in range(m_max):
+        slot = m % 2
+
+        @pl.when(m < tcnt_ref[c])
+        def _(m=m, slot=slot):
+            sdma(m, slot).wait()
+            qdma(m, slot).wait()
+            gdma(m, slot).wait()
+            stdma(m, slot).wait()
+            rows = slice(slot * block, (slot + 1) * block)
+            dk_c, dv_c = _attn_dkdv_tile(
+                qbuf[rows, :], gbuf[rows, :], stbuf[rows, :],
+                k_ref[...], v_ref[...], sbuf[rows, :], scale, prec)
+            dkacc[:] += dk_c
+            dvacc[:] += dv_c
+            if m + 2 < m_max:
+                start(jnp.int32(m + 2), slot)
+
+    dk_ref[...] = dkacc[:].astype(dk_ref.dtype)
+    dv_ref[...] = dvacc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13))
+def _attn_dkdv_impl(t_lo, t_cnt, off, xbase, s_mat, q_pad, g_pad, stats,
+                    k_pad, v_pad, block, t_sb, m_max, scale):
+    ns_blocks = t_lo.shape[0]
+    f_pad = q_pad.shape[-1]
+
+    kv_idx = lambda c, *_: (c, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ns_blocks,),
+        in_specs=[
+            pl.BlockSpec((block, f_pad), kv_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, f_pad), kv_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, f_pad), kv_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, f_pad), kv_idx, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * block, block), s_mat.dtype),
+            pltpu.VMEM((2 * block, f_pad), q_pad.dtype),
+            pltpu.VMEM((2 * block, f_pad), g_pad.dtype),
+            pltpu.VMEM((2 * block, _STATS_W), jnp.float32),
+            pltpu.VMEM((block, f_pad), jnp.float32),
+            pltpu.VMEM((block, f_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    kernel = functools.partial(_attn_dkdv_kernel, m_max, t_sb, scale)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ns_blocks * block, f_pad), k_pad.dtype),
+            jax.ShapeDtypeStruct((ns_blocks * block, f_pad), v_pad.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * ns_blocks * block * m_max * block * f_pad,
+            bytes_accessed=s_mat.size * s_mat.dtype.itemsize
+            + 2 * m_max * q_pad.size * q_pad.dtype.itemsize
+            + m_max * stats.size * 4
+            + 4 * k_pad.size * k_pad.dtype.itemsize,
+            transcendentals=ns_blocks * block * m_max * block,
+        ),
+        interpret=_interpret(),
+    )(t_lo, t_cnt, off, xbase, k_pad, v_pad, s_mat, q_pad, g_pad, stats)
+
+
+def _attn_dkdv_kernel_b(m_max, t_sb, nb, scale,
+                        tlo_ref, tcnt_ref, off_ref, xb_ref,
+                        k_ref, v_ref, s_hbm, q_hbm, g_hbm, st_hbm,
+                        dk_ref, dv_ref, sbuf, qbuf, gbuf, stbuf,
+                        dkacc, dvacc, sems):
+    """Batched src-side dK/dV kernel: grid ``(ns_blocks, nb)``; the S-mask
+    is structure-only and shared across the batch, so its tile DMA indexes
+    the unbatched mask while q/g/stats index batch entry ``b``."""
+    c = pl.program_id(0)
+    b = pl.program_id(1)
+    block = dk_ref.shape[1]
+
+    def _rc(m):
+        j = tlo_ref[c] + m
+        start_ = xb_ref[j // t_sb] + off_ref[j]
+        r0 = pl.multiple_of(j * block, block)
+        c0 = pl.multiple_of(c * block - start_, block)
+        return r0, c0
+
+    def sdma(m, slot):
+        r0, c0 = _rc(m)
+        return pltpu.make_async_copy(
+            s_hbm.at[pl.ds(r0, block), pl.ds(c0, block)],
+            sbuf.at[pl.ds(slot * block, block), :],
+            sems.at[slot, 0],
+        )
+
+    def qdma(m, slot):
+        r0, _ = _rc(m)
+        return pltpu.make_async_copy(
+            q_hbm.at[b, pl.ds(r0, block), :],
+            qbuf.at[pl.ds(slot * block, block), :],
+            sems.at[slot, 1],
+        )
+
+    def gdma(m, slot):
+        r0, _ = _rc(m)
+        return pltpu.make_async_copy(
+            g_hbm.at[b, pl.ds(r0, block), :],
+            gbuf.at[pl.ds(slot * block, block), :],
+            sems.at[slot, 2],
+        )
+
+    def stdma(m, slot):
+        r0, _ = _rc(m)
+        return pltpu.make_async_copy(
+            st_hbm.at[b, pl.ds(r0, block), :],
+            stbuf.at[pl.ds(slot * block, block), :],
+            sems.at[slot, 3],
+        )
+
+    def start(m, slot):
+        @pl.when(m < tcnt_ref[c])
+        def _():
+            sdma(m, slot).start()
+            qdma(m, slot).start()
+            gdma(m, slot).start()
+            stdma(m, slot).start()
+
+    start(0, 0)
+    if m_max > 1:
+        start(jnp.int32(1), 1)
+    dkacc[:] = jnp.zeros_like(dkacc)
+    dvacc[:] = jnp.zeros_like(dvacc)
+
+    prec = jax.lax.Precision.HIGHEST if qbuf.dtype == jnp.float32 else None
+    for m in range(m_max):
+        slot = m % 2
+
+        @pl.when(m < tcnt_ref[c])
+        def _(m=m, slot=slot):
+            sdma(m, slot).wait()
+            qdma(m, slot).wait()
+            gdma(m, slot).wait()
+            stdma(m, slot).wait()
+            rows = slice(slot * block, (slot + 1) * block)
+            dk_c, dv_c = _attn_dkdv_tile(
+                qbuf[rows, :], gbuf[rows, :], stbuf[rows, :],
+                k_ref[0], v_ref[0], sbuf[rows, :], scale, prec)
+            dkacc[:] += dk_c
+            dvacc[:] += dv_c
+            if m + 2 < m_max:
+                start(jnp.int32(m + 2), slot)
+
+    dk_ref[0] = dkacc[:].astype(dk_ref.dtype)
+    dv_ref[0] = dvacc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13))
+def _attn_dkdv_impl_b(t_lo, t_cnt, off, xbase, s_mat, q_pad, g_pad, stats,
+                      k_pad, v_pad, block, t_sb, m_max, scale):
+    ns_blocks = t_lo.shape[0]
+    nb, _, f_pad = q_pad.shape
+
+    kv_idx = lambda c, b, *_: (b, c, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ns_blocks, nb),
+        in_specs=[
+            pl.BlockSpec((1, block, f_pad), kv_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, f_pad), kv_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block, f_pad), kv_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, f_pad), kv_idx, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * block, block), s_mat.dtype),
+            pltpu.VMEM((2 * block, f_pad), q_pad.dtype),
+            pltpu.VMEM((2 * block, f_pad), g_pad.dtype),
+            pltpu.VMEM((2 * block, _STATS_W), jnp.float32),
+            pltpu.VMEM((block, f_pad), jnp.float32),
+            pltpu.VMEM((block, f_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    kernel = functools.partial(_attn_dkdv_kernel_b, m_max, t_sb, nb, scale)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, ns_blocks * block, f_pad), k_pad.dtype),
+            jax.ShapeDtypeStruct((nb, ns_blocks * block, f_pad), v_pad.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * nb * ns_blocks * block * m_max * block * f_pad,
+            bytes_accessed=nb * s_mat.size * s_mat.dtype.itemsize
+            + 2 * m_max * q_pad.size * q_pad.dtype.itemsize
+            + m_max * stats.size * 4
+            + 4 * k_pad.size * k_pad.dtype.itemsize,
+            transcendentals=nb * ns_blocks * block * m_max * block,
+        ),
+        interpret=_interpret(),
+    )(t_lo, t_cnt, off, xbase, k_pad, v_pad, s_mat, q_pad, g_pad, stats)
 
 
 def _spmm_t_kernel_b(m_max, t_sb, nb,
@@ -1035,18 +1356,24 @@ def _attn_fused_fwd(off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp,
 
 
 def _attn_fused_bwd(block, window, t_sb, m_max, scale, res, g):
-    """Flash-style backward: one fused destination-side kernel recomputes
-    P in-register and emits dQ, dL, P (cheaper than round-tripping the
-    f32 (N_pad, W) score tile through HBM), then two source-side
-    transpose passes produce dK and dV."""
+    """Flash-style backward in two kernel passes with NO ``(N_pad, window)``
+    intermediate in HBM (the pre-flash design round-tripped bf16 dL and P
+    tiles — 2·N·W bytes written + read each — through two transpose-SpMM
+    passes): a destination-side pass recomputes P row-wise, emits dQ plus
+    the per-row LSE/delta stats, and one source-side pass recomputes P per
+    covering tile from those stats and accumulates both dK and dV."""
     off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp = res
     g = g.astype(vp.dtype)
-    bwd = _attn_bwd_impl_b if qp.ndim == 3 else _attn_bwd_impl
-    dq, dl, p = bwd(off, xbase, qp, g, s_mat, kp, vp,
-                    block, window, t_sb, scale)
-    dk = _spmm_t_chunked(t_lo, t_cnt, off, xbase, dl, qp, block, t_sb,
-                         m_max)
-    dv = _spmm_t_chunked(t_lo, t_cnt, off, xbase, p, g, block, t_sb, m_max)
+    if qp.ndim == 3:
+        dq, stats = _attn_dq_impl_b(off, xbase, qp, g, s_mat, kp, vp,
+                                    block, window, t_sb, scale)
+        dk, dv = _attn_dkdv_impl_b(t_lo, t_cnt, off, xbase, s_mat, qp, g,
+                                   stats, kp, vp, block, t_sb, m_max, scale)
+    else:
+        dq, stats = _attn_dq_impl(off, xbase, qp, g, s_mat, kp, vp,
+                                  block, window, t_sb, scale)
+        dk, dv = _attn_dkdv_impl(t_lo, t_cnt, off, xbase, s_mat, qp, g,
+                                 stats, kp, vp, block, t_sb, m_max, scale)
     return (None, None, None, None, None,
             dq.astype(qp.dtype), dk.astype(kp.dtype), dv.astype(vp.dtype))
 

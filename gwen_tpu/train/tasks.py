@@ -145,10 +145,15 @@ def ensemble_crps_loss_fn(
     def loss_fn(params, batch, graph):
         x, y, key = batch  # x, y: (B, N, C); key: jax PRNG key array
         b = x.shape[0]
-        keys = jax.random.split(key, b)
-        xs = jax.vmap(lambda xi, ki: ensemble.sample_perturbed_members(
-            ki, xi, num_members, sigma, graph=graph,
-            smoothing_steps=smoothing_steps))(x, keys)  # (B, K, N, C)
+        # (B, K) perturbations in one batch-native draw — the leading dims
+        # fold into the batched aggregation kernels (vmap's Pallas batching
+        # rule cannot lower the diag kernel on TPU).
+        shape = (b, num_members) + x.shape[1:]
+        eps = (ensemble.correlated_noise(key, graph, shape,
+                                         smoothing_steps, x.dtype)
+               if graph is not None
+               else jax.random.normal(key, shape, x.dtype))
+        xs = x[:, None] + jnp.asarray(sigma, x.dtype) * eps  # (B, K, N, C)
         xs = xs.reshape((b * num_members,) + x.shape[1:])
         preds = model.apply(params, graph, xs)
         preds = preds.reshape((b, num_members) + y.shape[1:])  # (B, K, N, C)
@@ -219,10 +224,13 @@ def partitioned_ensemble_crps_loss_fn(
         tables, noise_graph = context
         x, y, key = batch  # padded global node space
         b = x.shape[0]
-        keys = jax.random.split(key, b)
-        xs = jax.vmap(lambda xi, ki: ensemble.sample_perturbed_members(
-            ki, xi, num_members, sigma, graph=noise_graph,
-            smoothing_steps=smoothing_steps))(x, keys)  # (B, K, N, C)
+        # Batch-native (B, K) draw — see ensemble_crps_loss_fn.
+        shape = (b, num_members) + x.shape[1:]
+        eps = (ensemble.correlated_noise(key, noise_graph, shape,
+                                         smoothing_steps, x.dtype)
+               if noise_graph is not None
+               else jax.random.normal(key, shape, x.dtype))
+        xs = x[:, None] + jnp.asarray(sigma, x.dtype) * eps  # (B, K, N, C)
         xs = xs.reshape((b * num_members,) + x.shape[1:])
         preds = apply_fn(params, xs, tables)
         preds = preds.reshape((b, num_members) + y.shape[1:])
