@@ -197,6 +197,20 @@ def main() -> None:
             "backend": jax.default_backend(),
             "ts": time.time(),
         }
+        # Fused windowed-attention aggregation at the same level (needs the
+        # diag layout's transpose tables; GWEN_BENCH_ATTN=0 skips).
+        if kernel == "diag" and os.environ.get("GWEN_BENCH_ATTN", "1") == "1":
+            from gwen_tpu.graph import diag_transpose_tables
+            from gwen_tpu.ops.attention_pallas import windowed_attention
+
+            tg = jax.device_put(diag_transpose_tables(dg))
+            t_attn = scan_timeit(
+                lambda c, gg: windowed_attention(gg, c, c, c), x, tg,
+                iters=iters,
+            )["mean_s"]
+            extra["attn_agg_ms"] = round(t_attn * 1e3, 3)
+            extra["attn_agg_edges_per_s"] = round(edges / t_attn, 1)
+
         out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH_EXTRA.json")
         with open(out_path, "w") as f:

@@ -98,7 +98,7 @@ def main() -> None:
     for spec in specs:
         parts = spec.strip().split(":")
         name = parts[0]
-        ordering = "kd" if name in ("diag", "sliding_esc") else "rcm"
+        ordering = "kd" if name in ("diag", "sliding_esc", "attn") else "rcm"
         s, r, n = _mesh(levels, ordering)
         g = build_graph(s, r, n)
         edges = g.num_edges
