@@ -908,36 +908,46 @@ def _attn_dq_impl_b(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
 # ------------------------------- flash backward: dK + dV (src side)
 
 
-def _attn_dkdv_tile(q_t, g_t, st_t, k_c, v_c, s_t, scale, prec):
+def _attn_dkdv_tile(q_t, g_t, mx_l, den_l, delta_l, k_c, v_c, s_t, scale,
+                    prec):
     """Shared dK/dV tile computation for one (dst sub-block j, src block
-    c) pair: recompute the P tile from the saved (mx, den) stats
-    (``p = exp(logits − mx)·mask / den`` — bit-identical to the
-    forward's softmax; no full-row pass is possible source-side, which
-    is why the stats exist), ``dP = G_j @ V_c^T``,
-    ``dL = P ⊙ (dP − delta_j)·scale``, and return the two transposed-MXU
-    accumulator contributions ``(dK_c += dL^T Q_j, dV_c += P^T G_j)``."""
-    w1 = _STATS_W // 3
+    c) pair, in TRANSPOSED (src-rows, dst-lanes) orientation: recompute
+    the P tile from the saved (mx, den) stats
+    (``p = exp(logits − mx)·mask / den`` — bit-identical to the forward's
+    softmax; no full-row pass is possible source-side, which is why the
+    stats exist), ``dP^T = V_c @ G_j^T``, the softmax cotangent
+    ``dL^T = P^T ⊙ (dP^T − delta_j)·scale``, and the two accumulator
+    contributions ``dK_c += dL^T @ Q_j``, ``dV_c += P^T @ G_j``.
+
+    The transposed orientation exists for the stats: per-dst-row stats
+    arrive as ``(3, block)`` lane vectors (row 0 = mx, 1 = den,
+    2 = delta) that broadcast along the sublane axis with no relayout,
+    so the stats stream is 12 B/row instead of a 128-lane broadcast
+    column per stat (1.5 KB vs 196 KB per covering tile — the stats DMA
+    was the single largest operand of the un-transposed kernel, 0.76 GB
+    of 1.37 GB per L7 d=256 pass). The only relayout left is one
+    (block, block) transpose of the mask tile; the accumulator matmuls
+    become standard row-major contractions in the bargain."""
     scores = jax.lax.dot_general(
-        q_t, k_c, (((1,), (1,)), ((), ())),
+        k_c, q_t, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     ) * scale
-    mask = s_t != 0
+    mask = jax.lax.transpose(s_t, (1, 0)) != 0
     logits = jnp.where(mask, scores, jnp.float32(-1e30))
-    den = st_t[:, w1:w1 + 1]
-    p = (jnp.exp(logits - st_t[:, 0:1]) * mask
-         / jnp.where(den == 0, 1.0, den))
+    p = (jnp.exp(logits - mx_l) * mask
+         / jnp.where(den_l == 0, 1.0, den_l))
     dp = jax.lax.dot_general(
-        g_t, v_c, (((1,), (1,)), ((), ())),
+        v_c, g_t, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     )
-    dl = p * (dp - st_t[:, 2 * w1:2 * w1 + 1]) * scale
-    tt = (((0,), (0,)), ((), ()))  # contract the dst-rows axis
+    dl = p * (dp - delta_l) * scale
+    nn = (((1,), (0,)), ((), ()))
     dk_contrib = jax.lax.dot_general(
-        dl.astype(q_t.dtype), q_t, tt,
+        dl.astype(q_t.dtype), q_t, nn,
         preferred_element_type=jnp.float32, precision=prec,
     )
     dv_contrib = jax.lax.dot_general(
-        p.astype(g_t.dtype), g_t, tt,
+        p.astype(g_t.dtype), g_t, nn,
         preferred_element_type=jnp.float32, precision=prec,
     )
     return dk_contrib, dv_contrib
@@ -950,86 +960,82 @@ def _attn_dkdv_kernel(m_max, t_sb, scale,
                       dkacc, dvacc, sems):
     """Source-side half of the flash backward: ONE pass produces both dK
     and dV by recomputing each ``(dst_block, src_block)`` probability tile
-    in-register from the saved LSE stats — replacing the pre-flash pair
-    of transpose-SpMM passes over HBM-materialized dL and P. The covering
+    in-register from the saved stats — replacing the pre-flash pair of
+    transpose-SpMM passes over HBM-materialized dL and P. The covering
     sub-blocks of source block ``c`` are the contiguous range
     ``[t_lo[c], t_lo[c]+t_cnt[c])`` (see graph.py diag transpose tables),
     so the inner loop is a bounded static unroll like
-    :func:`_spmm_t_kernel`."""
+    :func:`_spmm_t_kernel`.
+
+    DMA schedule: the whole NEXT grid step's tile set (every covering m,
+    all four operands, concurrent) is started while the current step
+    computes — per-step buffers alternate on ``c % 2``. Starting a step's
+    first tiles at its own beginning (the earlier schedule) stalled every
+    step on a full DMA latency before the first matmul, ~2 µs/step of
+    dead time on small (32 KB) tiles."""
     c = pl.program_id(0)
+    ns = pl.num_programs(0)
     block = dk_ref.shape[0]
 
-    def _rc(m):
-        j = tlo_ref[c] + m
+    def _rc(cc, m):
+        j = tlo_ref[cc] + m
         start_ = xb_ref[j // t_sb] + off_ref[j]
         r0 = pl.multiple_of(j * block, block)
-        c0 = pl.multiple_of(c * block - start_, block)
+        c0 = pl.multiple_of(cc * block - start_, block)
         return r0, c0
 
-    def sdma(m, slot):
-        r0, c0 = _rc(m)
-        return pltpu.make_async_copy(
-            s_hbm.at[pl.ds(r0, block), pl.ds(c0, block)],
-            sbuf.at[pl.ds(slot * block, block), :],
-            sems.at[slot, 0],
+    def tile_dmas(cc, m, slot):
+        r0, c0 = _rc(cc, m)
+        o = (slot * m_max + m) * block
+        return (
+            pltpu.make_async_copy(
+                s_hbm.at[pl.ds(r0, block), pl.ds(c0, block)],
+                sbuf.at[pl.ds(o, block), :], sems.at[slot, m, 0]),
+            pltpu.make_async_copy(
+                q_hbm.at[pl.ds(r0, block), :],
+                qbuf.at[pl.ds(o, block), :], sems.at[slot, m, 1]),
+            pltpu.make_async_copy(
+                g_hbm.at[pl.ds(r0, block), :],
+                gbuf.at[pl.ds(o, block), :], sems.at[slot, m, 2]),
+            pltpu.make_async_copy(
+                st_hbm.at[:, pl.ds(r0, block)],
+                stbuf.at[:, pl.ds(o, block)], sems.at[slot, m, 3]),
         )
 
-    def qdma(m, slot):
-        r0, _ = _rc(m)
-        return pltpu.make_async_copy(
-            q_hbm.at[pl.ds(r0, block), :],
-            qbuf.at[pl.ds(slot * block, block), :],
-            sems.at[slot, 1],
-        )
+    def start_step(cc, slot):
+        for m in range(m_max):
+            @pl.when(m < tcnt_ref[cc])
+            def _(m=m):
+                for d in tile_dmas(cc, m, slot):
+                    d.start()
 
-    def gdma(m, slot):
-        r0, _ = _rc(m)
-        return pltpu.make_async_copy(
-            g_hbm.at[pl.ds(r0, block), :],
-            gbuf.at[pl.ds(slot * block, block), :],
-            sems.at[slot, 2],
-        )
+    slot = jax.lax.rem(c, 2)
 
-    def stdma(m, slot):
-        r0, _ = _rc(m)
-        return pltpu.make_async_copy(
-            st_hbm.at[pl.ds(r0, block), :],
-            stbuf.at[pl.ds(slot * block, block), :],
-            sems.at[slot, 3],
-        )
+    @pl.when(c == 0)
+    def _():
+        start_step(0, 0)
 
-    def start(m, slot):
-        @pl.when(m < tcnt_ref[c])
-        def _():
-            sdma(m, slot).start()
-            qdma(m, slot).start()
-            gdma(m, slot).start()
-            stdma(m, slot).start()
+    @pl.when(c + 1 < ns)
+    def _():
+        start_step(c + 1, jax.lax.rem(c + 1, 2))
 
-    start(0, 0)
-    if m_max > 1:
-        start(jnp.int32(1), 1)
     dkacc[:] = jnp.zeros_like(dkacc)
     dvacc[:] = jnp.zeros_like(dvacc)
 
     prec = jax.lax.Precision.HIGHEST if qbuf.dtype == jnp.float32 else None
     for m in range(m_max):
-        slot = m % 2
-
         @pl.when(m < tcnt_ref[c])
-        def _(m=m, slot=slot):
-            sdma(m, slot).wait()
-            qdma(m, slot).wait()
-            gdma(m, slot).wait()
-            stdma(m, slot).wait()
-            rows = slice(slot * block, (slot + 1) * block)
+        def _(m=m):
+            for d in tile_dmas(c, m, slot):
+                d.wait()
+            o = slot * m_max * block + m * block
+            rows = pl.ds(o, block)
             dk_c, dv_c = _attn_dkdv_tile(
-                qbuf[rows, :], gbuf[rows, :], stbuf[rows, :],
+                qbuf[rows, :], gbuf[rows, :],
+                stbuf[0:1, rows], stbuf[1:2, rows], stbuf[2:3, rows],
                 k_ref[...], v_ref[...], sbuf[rows, :], scale, prec)
             dkacc[:] += dk_c
             dvacc[:] += dv_c
-            if m + 2 < m_max:
-                start(jnp.int32(m + 2), slot)
 
     dk_ref[...] = dkacc[:].astype(dk_ref.dtype)
     dv_ref[...] = dvacc[:].astype(dv_ref.dtype)
@@ -1051,20 +1057,24 @@ def _attn_dkdv_impl(t_lo, t_cnt, off, xbase, s_mat, q_pad, g_pad, stats,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # (4, n_pad) f32 transposed stats — small enough that ANY
+            # would promote it to VMEM, where its lane slices could not
+            # be DMA'd; pin to HBM so the (4, block) tile arrives via a
+            # real DMA.
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=[
             pl.BlockSpec((block, f_pad), kv_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((block, f_pad), kv_idx, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2 * block, block), s_mat.dtype),
-            pltpu.VMEM((2 * block, f_pad), q_pad.dtype),
-            pltpu.VMEM((2 * block, f_pad), g_pad.dtype),
-            pltpu.VMEM((2 * block, _STATS_W), jnp.float32),
+            pltpu.VMEM((2 * m_max * block, block), s_mat.dtype),
+            pltpu.VMEM((2 * m_max * block, f_pad), q_pad.dtype),
+            pltpu.VMEM((2 * m_max * block, f_pad), g_pad.dtype),
+            pltpu.VMEM((4, 2 * m_max * block), jnp.float32),
             pltpu.VMEM((block, f_pad), jnp.float32),
             pltpu.VMEM((block, f_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, m_max, 4)),
         ],
     )
     kernel = functools.partial(_attn_dkdv_kernel, m_max, t_sb, scale)
@@ -1094,82 +1104,78 @@ def _attn_dkdv_kernel_b(m_max, t_sb, nb, scale,
                         dkacc, dvacc, sems):
     """Batched src-side dK/dV kernel: grid ``(ns_blocks, nb)``; the S-mask
     is structure-only and shared across the batch, so its tile DMA indexes
-    the unbatched mask while q/g/stats index batch entry ``b``."""
+    the unbatched mask while q/g/stats index batch entry ``b``. Same
+    whole-next-step DMA prefetch as the unbatched kernel, over the
+    flattened ``(c, b)`` step index."""
     c = pl.program_id(0)
     b = pl.program_id(1)
+    ns = pl.num_programs(0)
+    step = c * nb + b
+    total = ns * nb
     block = dk_ref.shape[1]
 
-    def _rc(m):
-        j = tlo_ref[c] + m
+    def _rc(cc, m):
+        j = tlo_ref[cc] + m
         start_ = xb_ref[j // t_sb] + off_ref[j]
         r0 = pl.multiple_of(j * block, block)
-        c0 = pl.multiple_of(c * block - start_, block)
+        c0 = pl.multiple_of(cc * block - start_, block)
         return r0, c0
 
-    def sdma(m, slot):
-        r0, c0 = _rc(m)
-        return pltpu.make_async_copy(
-            s_hbm.at[pl.ds(r0, block), pl.ds(c0, block)],
-            sbuf.at[pl.ds(slot * block, block), :],
-            sems.at[slot, 0],
+    def tile_dmas(s_idx, m, slot):
+        cc = s_idx // nb
+        bb = jax.lax.rem(s_idx, nb)
+        r0, c0 = _rc(cc, m)
+        o = (slot * m_max + m) * block
+        return (
+            pltpu.make_async_copy(
+                s_hbm.at[pl.ds(r0, block), pl.ds(c0, block)],
+                sbuf.at[pl.ds(o, block), :], sems.at[slot, m, 0]),
+            pltpu.make_async_copy(
+                q_hbm.at[bb, pl.ds(r0, block), :],
+                qbuf.at[pl.ds(o, block), :], sems.at[slot, m, 1]),
+            pltpu.make_async_copy(
+                g_hbm.at[bb, pl.ds(r0, block), :],
+                gbuf.at[pl.ds(o, block), :], sems.at[slot, m, 2]),
+            pltpu.make_async_copy(
+                st_hbm.at[bb, :, pl.ds(r0, block)],
+                stbuf.at[:, pl.ds(o, block)], sems.at[slot, m, 3]),
         )
 
-    def qdma(m, slot):
-        r0, _ = _rc(m)
-        return pltpu.make_async_copy(
-            q_hbm.at[b, pl.ds(r0, block), :],
-            qbuf.at[pl.ds(slot * block, block), :],
-            sems.at[slot, 1],
-        )
+    def start_step(s_idx, slot):
+        cc = s_idx // nb
+        for m in range(m_max):
+            @pl.when(m < tcnt_ref[cc])
+            def _(m=m):
+                for d in tile_dmas(s_idx, m, slot):
+                    d.start()
 
-    def gdma(m, slot):
-        r0, _ = _rc(m)
-        return pltpu.make_async_copy(
-            g_hbm.at[b, pl.ds(r0, block), :],
-            gbuf.at[pl.ds(slot * block, block), :],
-            sems.at[slot, 2],
-        )
+    slot = jax.lax.rem(step, 2)
 
-    def stdma(m, slot):
-        r0, _ = _rc(m)
-        return pltpu.make_async_copy(
-            st_hbm.at[b, pl.ds(r0, block), :],
-            stbuf.at[pl.ds(slot * block, block), :],
-            sems.at[slot, 3],
-        )
+    @pl.when(step == 0)
+    def _():
+        start_step(jnp.int32(0), 0)
 
-    def start(m, slot):
-        @pl.when(m < tcnt_ref[c])
-        def _():
-            sdma(m, slot).start()
-            qdma(m, slot).start()
-            gdma(m, slot).start()
-            stdma(m, slot).start()
+    @pl.when(step + 1 < total)
+    def _():
+        start_step(step + 1, jax.lax.rem(step + 1, 2))
 
-    start(0, 0)
-    if m_max > 1:
-        start(jnp.int32(1), 1)
     dkacc[:] = jnp.zeros_like(dkacc)
     dvacc[:] = jnp.zeros_like(dvacc)
 
     prec = jax.lax.Precision.HIGHEST if qbuf.dtype == jnp.float32 else None
     for m in range(m_max):
-        slot = m % 2
-
         @pl.when(m < tcnt_ref[c])
-        def _(m=m, slot=slot):
-            sdma(m, slot).wait()
-            qdma(m, slot).wait()
-            gdma(m, slot).wait()
-            stdma(m, slot).wait()
-            rows = slice(slot * block, (slot + 1) * block)
+        def _(m=m):
+            for d in tile_dmas(step, m, slot):
+                d.wait()
+            o = slot * m_max * block + m * block
+            rows = pl.ds(o, block)
             dk_c, dv_c = _attn_dkdv_tile(
-                qbuf[rows, :], gbuf[rows, :], stbuf[rows, :],
+                qbuf[rows, :], gbuf[rows, :],
+                stbuf[0:1, rows], stbuf[1:2, rows], stbuf[2:3, rows],
                 k_ref[0], v_ref[0], sbuf[rows, :], scale, prec)
             dkacc[:] += dk_c
             dvacc[:] += dv_c
-            if m + 2 < m_max:
-                start(jnp.int32(m + 2), slot)
 
     dk_ref[0] = dkacc[:].astype(dk_ref.dtype)
     dv_ref[0] = dvacc[:].astype(dv_ref.dtype)
@@ -1191,20 +1197,21 @@ def _attn_dkdv_impl_b(t_lo, t_cnt, off, xbase, s_mat, q_pad, g_pad, stats,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # see _attn_dkdv_impl: keep the stats array out of VMEM
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=[
             pl.BlockSpec((1, block, f_pad), kv_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block, f_pad), kv_idx, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2 * block, block), s_mat.dtype),
-            pltpu.VMEM((2 * block, f_pad), q_pad.dtype),
-            pltpu.VMEM((2 * block, f_pad), g_pad.dtype),
-            pltpu.VMEM((2 * block, _STATS_W), jnp.float32),
+            pltpu.VMEM((2 * m_max * block, block), s_mat.dtype),
+            pltpu.VMEM((2 * m_max * block, f_pad), q_pad.dtype),
+            pltpu.VMEM((2 * m_max * block, f_pad), g_pad.dtype),
+            pltpu.VMEM((4, 2 * m_max * block), jnp.float32),
             pltpu.VMEM((block, f_pad), jnp.float32),
             pltpu.VMEM((block, f_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, m_max, 4)),
         ],
     )
     kernel = functools.partial(_attn_dkdv_kernel_b, m_max, t_sb, nb, scale)
@@ -1364,16 +1371,29 @@ def _attn_fused_bwd(block, window, t_sb, m_max, scale, res, g):
     covering tile from those stats and accumulates both dK and dV."""
     off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp = res
     g = g.astype(vp.dtype)
+    w1 = _STATS_W // 3
+
+    def compact(wide):
+        # (..., N, 3·128) broadcast columns → (..., 4, N) lane-oriented
+        # rows (0 = mx, 1 = den, 2 = delta, 3 = sublane padding — Mosaic
+        # requires sublane slices aligned to 4) for the src-side kernel,
+        # whose per-tile stats DMA is then 16 B/row instead of 1.5 KB.
+        return jnp.stack(
+            [wide[..., 0], wide[..., w1], wide[..., 2 * w1],
+             wide[..., 0]], axis=-2)
+
     if qp.ndim == 3:
         dq, stats = _attn_dq_impl_b(off, xbase, qp, g, s_mat, kp, vp,
                                     block, window, t_sb, scale)
         dk, dv = _attn_dkdv_impl_b(t_lo, t_cnt, off, xbase, s_mat, qp, g,
-                                   stats, kp, vp, block, t_sb, m_max, scale)
+                                   compact(stats), kp, vp, block, t_sb,
+                                   m_max, scale)
     else:
         dq, stats = _attn_dq_impl(off, xbase, qp, g, s_mat, kp, vp,
                                   block, window, t_sb, scale)
         dk, dv = _attn_dkdv_impl(t_lo, t_cnt, off, xbase, s_mat, qp, g,
-                                 stats, kp, vp, block, t_sb, m_max, scale)
+                                 compact(stats), kp, vp, block, t_sb,
+                                 m_max, scale)
     return (None, None, None, None, None,
             dq.astype(qp.dtype), dk.astype(kp.dtype), dv.astype(vp.dtype))
 
