@@ -154,65 +154,70 @@ def _spmm_t_kernel(m_max, t_sb,
                    out_ref, sbuf, gbuf, acc, sems):
     """One grid step = one *source* block: accumulate ``S_tile^T @ g_tile``
     over the covering destination sub-blocks (a contiguous range — window
-    starts are monotonic), with double-buffered (block, block) S-tile +
-    (block, F) g-tile DMAs. Tile coordinates are recomputed from the
+    starts are monotonic). Tile coordinates are recomputed from the
     prefetched offsets/xbase: row = j·block, column = c·block − start_j —
     keeping SMEM at O(num_src_blocks) (a 2-D per-(c, m) table pads each
-    row to 512 B and exceeds SMEM at L7+)."""
+    row to 512 B and exceeds SMEM at L7+).
+
+    DMA schedule: the whole NEXT grid step's tile set (every covering m,
+    both operands, concurrent) is started while the current step
+    computes, buffers alternating on the step parity — starting a step's
+    first tiles at its own beginning stalls every step on a full DMA
+    latency (~2 µs on 32 KB tiles; measured on the dK/dV kernel, which
+    shares this structure)."""
     c = pl.program_id(0)
+    ns = pl.num_programs(0)
     block = out_ref.shape[0]
 
-    def _rc(m):
-        j = tlo_ref[c] + m
+    def _rc(cc, m):
+        j = tlo_ref[cc] + m
         start = xb_ref[j // t_sb] + off_ref[j]
         r0 = pl.multiple_of(j * block, block)
-        c0 = pl.multiple_of(c * block - start, block)
+        c0 = pl.multiple_of(cc * block - start, block)
         return r0, c0
 
-    def sdma(m, slot):
-        r0, c0 = _rc(m)
-        return pltpu.make_async_copy(
-            s_hbm.at[pl.ds(r0, block), pl.ds(c0, block)],
-            sbuf.at[pl.ds(slot * block, block), :],
-            sems.at[slot, 0],
+    def tile_dmas(cc, m, slot):
+        r0, c0 = _rc(cc, m)
+        o = (slot * m_max + m) * block
+        return (
+            pltpu.make_async_copy(
+                s_hbm.at[pl.ds(r0, block), pl.ds(c0, block)],
+                sbuf.at[pl.ds(o, block), :], sems.at[slot, m, 0]),
+            pltpu.make_async_copy(
+                g_hbm.at[pl.ds(r0, block), :],
+                gbuf.at[pl.ds(o, block), :], sems.at[slot, m, 1]),
         )
 
-    def gdma(m, slot):
-        r0, _ = _rc(m)
-        return pltpu.make_async_copy(
-            g_hbm.at[pl.ds(r0, block), :],
-            gbuf.at[pl.ds(slot * block, block), :],
-            sems.at[slot, 1],
-        )
+    def start_step(cc, slot):
+        for m in range(m_max):
+            @pl.when(m < tcnt_ref[cc])
+            def _(m=m):
+                for d in tile_dmas(cc, m, slot):
+                    d.start()
 
-    def start(m, slot):
-        @pl.when(m < tcnt_ref[c])
-        def _():
-            sdma(m, slot).start()
-            gdma(m, slot).start()
+    slot = jax.lax.rem(c, 2)
 
-    start(0, 0)
-    if m_max > 1:
-        start(jnp.int32(1), 1)
+    @pl.when(c == 0)
+    def _():
+        start_step(0, 0)
+
+    @pl.when(c + 1 < ns)
+    def _():
+        start_step(c + 1, jax.lax.rem(c + 1, 2))
+
     acc[:] = jnp.zeros_like(acc)
 
     prec = jax.lax.Precision.HIGHEST if gbuf.dtype == jnp.float32 else None
     for m in range(m_max):
-        slot = m % 2
-
         @pl.when(m < tcnt_ref[c])
-        def _(m=m, slot=slot):
-            sdma(m, slot).wait()
-            gdma(m, slot).wait()
-            s_t = sbuf[slot * block:(slot + 1) * block, :]
-            g_t = gbuf[slot * block:(slot + 1) * block, :]
+        def _(m=m):
+            for d in tile_dmas(c, m, slot):
+                d.wait()
+            rows = pl.ds((slot * m_max + m) * block, block)
             acc[:] += jax.lax.dot_general(
-                s_t, g_t, (((0,), (0,)), ((), ())),
+                sbuf[rows, :], gbuf[rows, :], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )
-            # Refill this slot only after its tiles were consumed.
-            if m + 2 < m_max:
-                start(jnp.int32(m + 2), slot)
 
     out_ref[:] = acc[:].astype(out_ref.dtype)
 
@@ -232,10 +237,10 @@ def _spmm_t_impl(t_lo, t_cnt, off, xbase, s_mat, g_pad, block, t_sb, m_max):
         out_specs=pl.BlockSpec((block, f_pad), lambda c, *_: (c, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2 * block, block), s_mat.dtype),
-            pltpu.VMEM((2 * block, f_pad), g_pad.dtype),
+            pltpu.VMEM((2 * m_max * block, block), s_mat.dtype),
+            pltpu.VMEM((2 * m_max * block, f_pad), g_pad.dtype),
             pltpu.VMEM((block, f_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, m_max, 2)),
         ],
     )
     kernel = functools.partial(_spmm_t_kernel, m_max, t_sb)
@@ -1240,61 +1245,67 @@ def _spmm_t_kernel_b(m_max, t_sb, nb,
     """Batched transpose kernel: grid ``(ns_blocks, nb)``; S tiles and g
     tiles are per-batch runtime data, so each (c, b) step runs the same
     covering-range accumulation as the unbatched kernel against batch
-    entry ``b``."""
+    entry ``b``. Same whole-next-step DMA prefetch as the unbatched
+    kernel, over the flattened ``(c, b)`` step index."""
     c = pl.program_id(0)
     b = pl.program_id(1)
+    ns = pl.num_programs(0)
+    step = c * nb + b
+    total = ns * nb
     block = out_ref.shape[1]
 
-    def _rc(m):
-        j = tlo_ref[c] + m
+    def _rc(cc, m):
+        j = tlo_ref[cc] + m
         start = xb_ref[j // t_sb] + off_ref[j]
         r0 = pl.multiple_of(j * block, block)
-        c0 = pl.multiple_of(c * block - start, block)
+        c0 = pl.multiple_of(cc * block - start, block)
         return r0, c0
 
-    def sdma(m, slot):
-        r0, c0 = _rc(m)
-        return pltpu.make_async_copy(
-            s_hbm.at[b, pl.ds(r0, block), pl.ds(c0, block)],
-            sbuf.at[pl.ds(slot * block, block), :],
-            sems.at[slot, 0],
+    def tile_dmas(s_idx, m, slot):
+        cc = s_idx // nb
+        bb = jax.lax.rem(s_idx, nb)
+        r0, c0 = _rc(cc, m)
+        o = (slot * m_max + m) * block
+        return (
+            pltpu.make_async_copy(
+                s_hbm.at[bb, pl.ds(r0, block), pl.ds(c0, block)],
+                sbuf.at[pl.ds(o, block), :], sems.at[slot, m, 0]),
+            pltpu.make_async_copy(
+                g_hbm.at[bb, pl.ds(r0, block), :],
+                gbuf.at[pl.ds(o, block), :], sems.at[slot, m, 1]),
         )
 
-    def gdma(m, slot):
-        r0, _ = _rc(m)
-        return pltpu.make_async_copy(
-            g_hbm.at[b, pl.ds(r0, block), :],
-            gbuf.at[pl.ds(slot * block, block), :],
-            sems.at[slot, 1],
-        )
+    def start_step(s_idx, slot):
+        cc = s_idx // nb
+        for m in range(m_max):
+            @pl.when(m < tcnt_ref[cc])
+            def _(m=m):
+                for d in tile_dmas(s_idx, m, slot):
+                    d.start()
 
-    def start(m, slot):
-        @pl.when(m < tcnt_ref[c])
-        def _():
-            sdma(m, slot).start()
-            gdma(m, slot).start()
+    slot = jax.lax.rem(step, 2)
 
-    start(0, 0)
-    if m_max > 1:
-        start(jnp.int32(1), 1)
+    @pl.when(step == 0)
+    def _():
+        start_step(jnp.int32(0), 0)
+
+    @pl.when(step + 1 < total)
+    def _():
+        start_step(step + 1, jax.lax.rem(step + 1, 2))
+
     acc[:] = jnp.zeros_like(acc)
 
     prec = jax.lax.Precision.HIGHEST if gbuf.dtype == jnp.float32 else None
     for m in range(m_max):
-        slot = m % 2
-
         @pl.when(m < tcnt_ref[c])
-        def _(m=m, slot=slot):
-            sdma(m, slot).wait()
-            gdma(m, slot).wait()
-            s_t = sbuf[slot * block:(slot + 1) * block, :]
-            g_t = gbuf[slot * block:(slot + 1) * block, :]
+        def _(m=m):
+            for d in tile_dmas(step, m, slot):
+                d.wait()
+            rows = pl.ds((slot * m_max + m) * block, block)
             acc[:] += jax.lax.dot_general(
-                s_t, g_t, (((0,), (0,)), ((), ())),
+                sbuf[rows, :], gbuf[rows, :], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )
-            if m + 2 < m_max:
-                start(jnp.int32(m + 2), slot)
 
     out_ref[0] = acc[:].astype(out_ref.dtype)
 
@@ -1315,10 +1326,10 @@ def _spmm_t_impl_b(t_lo, t_cnt, off, xbase, s_mat, g_pad, block, t_sb,
         out_specs=pl.BlockSpec((1, block, f_pad), lambda c, b, *_: (b, c, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2 * block, block), s_mat.dtype),
-            pltpu.VMEM((2 * block, f_pad), g_pad.dtype),
+            pltpu.VMEM((2 * m_max * block, block), s_mat.dtype),
+            pltpu.VMEM((2 * m_max * block, f_pad), g_pad.dtype),
             pltpu.VMEM((block, f_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, m_max, 2)),
         ],
     )
     kernel = functools.partial(_spmm_t_kernel_b, m_max, t_sb, nb)
