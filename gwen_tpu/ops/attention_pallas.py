@@ -665,17 +665,20 @@ def _attn_fwd_impl_b(off, xbase, q_pad, s_mat, k_pad, v_pad,
 # ------------------------------------- flash backward: dQ (dst side)
 
 # Stats array emitted by the dQ kernel for the source-side dK/dV pass:
-# f32 ``(rows, 3*128)`` — lanes 0-127 broadcast the per-row softmax max
-# ``mx``, lanes 128-255 the exp-sum ``den`` (0 for all-masked rows), and
-# lanes 256-383 ``delta = rowsum(dP * P)``. Storing (mx, den) rather than
-# their LSE keeps the source-side P recompute BIT-IDENTICAL math to the
-# forward — an ``mx + log(den)`` round trip doubles the VPU
-# transcendental error and was measured at 5e-5 relative on dK/dV vs
-# ~1e-6 for this layout. Mosaic DMA slices along the lane axis must be
-# 128-aligned, so each stat occupies a full 128-lane column block (a
-# width-8 layout fails to lower: "Slice shape along dimension 1 must be
-# aligned to tiling (128)").
-_STATS_W = 384
+# f32 ``(4, N)`` lane-oriented rows — 0 = per-row softmax max ``mx``,
+# 1 = exp-sum ``den`` (0 for all-masked rows), 2 = ``delta =
+# rowsum(dP * P)``, 3 = sublane padding (Mosaic requires sublane slices
+# aligned to 4). Storing (mx, den) rather than their LSE keeps the
+# source-side P recompute BIT-IDENTICAL math to the forward — an
+# ``mx + log(den)`` round trip doubles the VPU transcendental error and
+# was measured at 5e-5 relative on dK/dV vs ~1e-6 for this layout. Lane
+# orientation matters twice: a (rows, stat) layout either violates
+# Mosaic's 128-lane DMA slice alignment (width < 128) or costs a
+# 128-lane broadcast column per stat (196 KB per covering tile — it was
+# the src-side pass's single largest operand); and the dQ kernel's
+# per-tile (block, 1) stat columns turn into (1, block) lane rows with
+# one tiny transpose each before the store.
+_STATS_ROWS = 4
 
 
 def _attn_dq_tile(q_t, kw, vw, s_t, g_t, scale, prec):
@@ -731,7 +734,6 @@ def _attn_dq_kernel(window, buf, t_sb, num_super, scale,
     dma(v_hbm, vbuf, j, slot, 1).wait()
 
     prec = jax.lax.Precision.HIGHEST if kbuf.dtype == jnp.float32 else None
-    w1 = _STATS_W // 3
     for t in range(t_sb):
         off = pl.multiple_of(off_ref[j * t_sb + t], block)
         kw = kbuf[pl.ds(slot * buf + off, window), :]
@@ -741,9 +743,8 @@ def _attn_dq_kernel(window, buf, t_sb, num_super, scale,
                                            s_ref[rows, :], g_ref[rows, :],
                                            scale, prec)
         dq_ref[rows, :] = dq.astype(dq_ref.dtype)
-        st_ref[rows, :w1] = jnp.broadcast_to(mx, (block, w1))
-        st_ref[rows, w1:2 * w1] = jnp.broadcast_to(den, (block, w1))
-        st_ref[rows, 2 * w1:] = jnp.broadcast_to(delta, (block, w1))
+        st_ref[:, rows] = jax.lax.transpose(
+            jnp.concatenate([mx, den, delta, mx], axis=1), (1, 0))
 
     @pl.when(j + 2 < num_super)
     def _():
@@ -771,7 +772,7 @@ def _attn_dq_impl(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
         ],
         out_specs=[
             pl.BlockSpec((block * t_sb, f_pad), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block * t_sb, _STATS_W), idx,
+            pl.BlockSpec((_STATS_ROWS, block * t_sb), lambda j, *_: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -787,14 +788,14 @@ def _attn_dq_impl(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, f_pad), q_pad.dtype),
-            jax.ShapeDtypeStruct((n_pad, _STATS_W), jnp.float32),
+            jax.ShapeDtypeStruct((_STATS_ROWS, n_pad), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=6 * n_pad * window * f_pad,
             bytes_accessed=4 * k_pad.size * k_pad.dtype.itemsize
             + s_mat.size * s_mat.dtype.itemsize
             + 3 * n_pad * f_pad * q_pad.dtype.itemsize
-            + 4 * n_pad * _STATS_W,
+            + 4 * n_pad * _STATS_ROWS,
             transcendentals=n_pad * window,
         ),
         interpret=_interpret(),
@@ -836,7 +837,6 @@ def _attn_dq_kernel_b(window, buf, t_sb, num_super, nb, scale,
     dma(v_hbm, vbuf, step, slot, 1).wait()
 
     prec = jax.lax.Precision.HIGHEST if kbuf.dtype == jnp.float32 else None
-    w1 = _STATS_W // 3
     for t in range(t_sb):
         off = pl.multiple_of(off_ref[j * t_sb + t], block)
         kw = kbuf[pl.ds(slot * buf + off, window), :]
@@ -846,9 +846,8 @@ def _attn_dq_kernel_b(window, buf, t_sb, num_super, nb, scale,
                                            s_ref[rows, :],
                                            g_ref[0, rows, :], scale, prec)
         dq_ref[0, rows, :] = dq.astype(dq_ref.dtype)
-        st_ref[0, rows, :w1] = jnp.broadcast_to(mx, (block, w1))
-        st_ref[0, rows, w1:2 * w1] = jnp.broadcast_to(den, (block, w1))
-        st_ref[0, rows, 2 * w1:] = jnp.broadcast_to(delta, (block, w1))
+        st_ref[0, :, rows] = jax.lax.transpose(
+            jnp.concatenate([mx, den, delta, mx], axis=1), (1, 0))
 
     @pl.when(step + 2 < total)
     def _():
@@ -880,7 +879,8 @@ def _attn_dq_impl_b(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
         out_specs=[
             pl.BlockSpec((1, block * t_sb, f_pad), q_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block * t_sb, _STATS_W), q_idx,
+            pl.BlockSpec((1, _STATS_ROWS, block * t_sb),
+                         lambda j, b, *_: (b, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -896,14 +896,14 @@ def _attn_dq_impl_b(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nb, n_pad, f_pad), q_pad.dtype),
-            jax.ShapeDtypeStruct((nb, n_pad, _STATS_W), jnp.float32),
+            jax.ShapeDtypeStruct((nb, _STATS_ROWS, n_pad), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=6 * nb * n_pad * window * f_pad,
             bytes_accessed=4 * k_pad.size * k_pad.dtype.itemsize
             + s_mat.size * s_mat.dtype.itemsize
             + 3 * nb * n_pad * f_pad * q_pad.dtype.itemsize
-            + 4 * nb * n_pad * _STATS_W,
+            + 4 * nb * n_pad * _STATS_ROWS,
             transcendentals=nb * n_pad * window,
         ),
         interpret=_interpret(),
@@ -1382,28 +1382,17 @@ def _attn_fused_bwd(block, window, t_sb, m_max, scale, res, g):
     covering tile from those stats and accumulates both dK and dV."""
     off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp = res
     g = g.astype(vp.dtype)
-    w1 = _STATS_W // 3
-
-    def compact(wide):
-        # (..., N, 3·128) broadcast columns → (..., 4, N) lane-oriented
-        # rows (0 = mx, 1 = den, 2 = delta, 3 = sublane padding — Mosaic
-        # requires sublane slices aligned to 4) for the src-side kernel,
-        # whose per-tile stats DMA is then 16 B/row instead of 1.5 KB.
-        return jnp.stack(
-            [wide[..., 0], wide[..., w1], wide[..., 2 * w1],
-             wide[..., 0]], axis=-2)
-
     if qp.ndim == 3:
         dq, stats = _attn_dq_impl_b(off, xbase, qp, g, s_mat, kp, vp,
                                     block, window, t_sb, scale)
         dk, dv = _attn_dkdv_impl_b(t_lo, t_cnt, off, xbase, s_mat, qp, g,
-                                   compact(stats), kp, vp, block, t_sb,
+                                   stats, kp, vp, block, t_sb,
                                    m_max, scale)
     else:
         dq, stats = _attn_dq_impl(off, xbase, qp, g, s_mat, kp, vp,
                                   block, window, t_sb, scale)
         dk, dv = _attn_dkdv_impl(t_lo, t_cnt, off, xbase, s_mat, qp, g,
-                                 compact(stats), kp, vp, block, t_sb,
+                                 stats, kp, vp, block, t_sb,
                                  m_max, scale)
     return (None, None, None, None, None,
             dq.astype(qp.dtype), dk.astype(kp.dtype), dv.astype(vp.dtype))
