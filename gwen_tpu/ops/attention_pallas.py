@@ -450,9 +450,9 @@ def diag_matvec_reference(graph: DiagWindowGraph, s: Array, x: Array) -> Array:
 
 def _tile_softmax(q_t, kw, s_t, scale, prec):
     """Scores matmul + masked softmax for one (rows, window-or-block)
-    tile. Returns (p, logits, mask, mx, den) — ``p`` is the probability
-    tile (f32), ``mx``/``den`` the per-row (rows, 1) f32 max and
-    exp-sum softmax stats (``den == 0`` for all-masked rows)."""
+    tile. Returns (p, mx, den) — ``p`` is the probability tile (f32),
+    ``mx``/``den`` the per-row (rows, 1) f32 max and exp-sum softmax
+    stats (``den == 0`` for all-masked rows)."""
     scores = jax.lax.dot_general(
         q_t, kw, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
@@ -463,7 +463,7 @@ def _tile_softmax(q_t, kw, s_t, scale, prec):
     e = jnp.exp(logits - mx) * mask
     den = jnp.sum(e, axis=-1, keepdims=True)
     p = e / jnp.where(den == 0, 1.0, den)
-    return p, logits, mask, mx, den
+    return p, mx, den
 
 
 def _attn_fwd_kernel(window, buf, t_sb, num_super, scale,
@@ -506,7 +506,7 @@ def _attn_fwd_kernel(window, buf, t_sb, num_super, scale,
         kw = kbuf[pl.ds(slot * buf + off, window), :]
         vw = vbuf[pl.ds(slot * buf + off, window), :]
         q_t = q_ref[t * block:(t + 1) * block, :]
-        p, _, _, _, _ = _tile_softmax(q_t, kw, s_ref[t * block:(t + 1) * block, :],
+        p, _, _ = _tile_softmax(q_t, kw, s_ref[t * block:(t + 1) * block, :],
                                    scale, prec)
         out_ref[t * block:(t + 1) * block, :] = jnp.dot(
             p.astype(kbuf.dtype), vw,
@@ -605,7 +605,7 @@ def _attn_fwd_kernel_b(window, buf, t_sb, num_super, nb, scale,
         kw = kbuf[pl.ds(slot * buf + off, window), :]
         vw = vbuf[pl.ds(slot * buf + off, window), :]
         q_t = q_ref[0, t * block:(t + 1) * block, :]
-        p, _, _, _, _ = _tile_softmax(q_t, kw, s_ref[t * block:(t + 1) * block, :],
+        p, _, _ = _tile_softmax(q_t, kw, s_ref[t * block:(t + 1) * block, :],
                                    scale, prec)
         out_ref[0, t * block:(t + 1) * block, :] = jnp.dot(
             p.astype(kbuf.dtype), vw,
@@ -688,7 +688,7 @@ def _attn_dq_tile(q_t, kw, vw, s_t, g_t, scale, prec):
     VPU, and ``dQ = dL @ K_win``. Returns (dq_f32, mx, den, delta) — the
     per-row stats the source-side pass needs to recompute P without
     having full rows."""
-    p, _, _, mx, den = _tile_softmax(q_t, kw, s_t, scale, prec)
+    p, mx, den = _tile_softmax(q_t, kw, s_t, scale, prec)
     dp = jax.lax.dot_general(
         g_t, vw, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
