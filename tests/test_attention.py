@@ -202,6 +202,33 @@ def test_attention_requires_tables():
         windowed_attention(dw, x, x, x)
 
 
+def test_attention_four_heads_matches_reference():
+    """4 heads at latent 32 → dh=8 ≪ the 128-lane tile: covers the
+    sub-lane head-width padding path of the head-sliced einsum
+    projections + folded batched kernels (2 heads at dh≥128 is the
+    production config; this is the one that exercises f_pad rounding)."""
+    from gwen_tpu.nn.attention import graph_attention_apply, graph_attention_init
+
+    _, dw, n = _diag_graph(levels=2, window=128, block=32, superblock=2)
+    params = graph_attention_init(jax.random.key(2), 32, heads=4)
+    x = jnp.asarray(np.random.default_rng(9).normal(size=(n, 32)),
+                    jnp.float32)
+    got = graph_attention_apply(params, dw, x, heads=4)
+    ref = graph_attention_apply(params, dw, x, heads=4, backend="reference")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(fn_backend):
+        def f(xx):
+            return jnp.sum(graph_attention_apply(params, dw, xx, heads=4,
+                                                 backend=fn_backend) ** 2)
+        return jax.grad(f)(x)
+
+    np.testing.assert_allclose(np.asarray(loss("auto")),
+                               np.asarray(loss("reference")),
+                               rtol=5e-4, atol=5e-4)
+
+
 def test_epd_attention_processor_trains():
     import optax
 
