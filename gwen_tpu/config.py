@@ -229,7 +229,9 @@ class GwenConfig:
                 for k, v in section_val.items():
                     if k not in names:
                         raise KeyError(f"Unknown key {section_name}.{k}")
-                    setattr(section, k, _coerce(getattr(section, k), v))
+                    setattr(section, k, _coerce(
+                        getattr(section, k), v, _field_allows_str(section, k)
+                    ))
             else:
                 setattr(cfg, section_name, section_val)
         return cfg
@@ -295,7 +297,18 @@ def _parse_literal(raw: str) -> Any:
         return raw
 
 
-def _coerce(current: Any, value: Any) -> Any:
+def _field_allows_str(obj: Any, name: str) -> bool:
+    """True iff the declared dataclass annotation of ``obj.name`` admits
+    ``str`` (e.g. the union-typed ``train.remat: bool | str``)."""
+    fields = getattr(type(obj), "__dataclass_fields__", None)
+    if not fields or name not in fields:
+        return True  # not a dataclass field — don't over-restrict
+    ann = fields[name].type
+    ann = ann if isinstance(ann, str) else str(ann)
+    return "str" in ann
+
+
+def _coerce(current: Any, value: Any, allows_str: bool = False) -> Any:
     """Coerce ``value`` to the type of the existing field value."""
     if isinstance(current, bool):
         if isinstance(value, str):
@@ -303,9 +316,16 @@ def _coerce(current: Any, value: Any) -> Any:
                 return True
             if value.lower() in ("0", "false", "no"):
                 return False
-            # String-valued modes on bool-defaulted union fields
-            # (e.g. train.remat=save_agg).
-            return value
+            # String-valued modes are legal only on union-annotated fields
+            # (e.g. ``train.remat: bool | str = False`` accepts "save_agg");
+            # on a plain bool field a stray string (train.retrain=ture) must
+            # fail loudly, not become a silently-truthy string.
+            if allows_str:
+                return value
+            raise ValueError(
+                f"Expected a boolean, got {value!r} (bool fields accept "
+                "true/false/1/0/yes/no)"
+            )
         return bool(value)
     if isinstance(current, int) and not isinstance(value, bool):
         return int(value)
@@ -326,7 +346,9 @@ def _set_dotted(cfg: GwenConfig, path: str, value: Any) -> None:
     leaf = parts[-1]
     if not hasattr(obj, leaf):
         raise KeyError(f"Unknown config path: {path!r}")
-    setattr(obj, leaf, _coerce(getattr(obj, leaf), value))
+    setattr(obj, leaf, _coerce(
+        getattr(obj, leaf), value, _field_allows_str(obj, leaf)
+    ))
 
 
 def load_config(path: str | Path | None = None) -> GwenConfig:

@@ -47,24 +47,35 @@ def sample_perturbed_members(
     sigma: float = 0.1,
     graph=None,
     smoothing_steps: int = 2,
+    batch_dims: int = 0,
 ) -> Array:
     """K perturbed initial conditions from one base state.
 
-    ``base_state``: (nodes, channels) → returns (K, nodes, channels).
-    With a graph, noise is spatially correlated (physically plausible
-    perturbations); without, white.
+    ``base_state``: (nodes, channels) → returns (K, nodes, channels); with
+    ``batch_dims=d``, the member axis is inserted *after* the first ``d``
+    leading batch axes (``(B, N, C)`` → ``(B, K, N, C)``), which is the
+    layout the CRPS-ensemble loss fns consume. With a graph, noise is
+    spatially correlated (physically plausible perturbations); without,
+    white.
 
     The member axis rides the batch-native aggregation kernels as a
     leading dim — NOT ``jax.vmap``, whose Pallas batching rule cannot
     lower the diag-window kernel's ANY-space escape operands on TPU.
+
+    RNG-stream note (round-4 change): members are drawn as ONE
+    ``(..., K, ...)`` normal tensor rather than K per-member split keys —
+    the distribution is identical, but re-running a pre-round-4 experiment
+    with the same PRNG key produces different (equally valid) members.
     """
-    shape = (num_members,) + base_state.shape
+    shape = (base_state.shape[:batch_dims] + (num_members,)
+             + base_state.shape[batch_dims:])
     if graph is not None:
         eps = correlated_noise(key, graph, shape, smoothing_steps,
                                base_state.dtype)
     else:
         eps = jax.random.normal(key, shape, base_state.dtype)
-    return base_state[None] + sigma * eps
+    base = jnp.expand_dims(base_state, batch_dims)
+    return base + jnp.asarray(sigma, base_state.dtype) * eps
 
 
 def rollout(

@@ -52,6 +52,24 @@ Array = jnp.ndarray
 
 _F_CHUNK = 512  # feature-axis chunk cap (VMEM budget, matches spmm kernels)
 
+# Double-buffered scratch scales with the graph-dependent t_max (covering
+# sub-blocks per source block): a wide-coverage graph can request more VMEM
+# than the ~16 MB/core that exists, which surfaces as an opaque Mosaic
+# compile failure. Check up front and fail with the actual numbers instead
+# (round-4 advisor finding).
+_VMEM_BUDGET = 12 * 2**20  # scratch allowance; headroom left for in/out tiles
+
+
+def _check_vmem(kernel_name: str, nbytes: int) -> None:
+    if nbytes > _VMEM_BUDGET:
+        raise ValueError(
+            f"{kernel_name}: requested {nbytes / 2**20:.1f} MiB of VMEM "
+            f"scratch (> {_VMEM_BUDGET / 2**20:.0f} MiB budget) — the "
+            "graph's coverage range (t_max) times the block/feature tile "
+            "is too large. Reduce diag_window, superblock, or the feature "
+            "chunk for this graph."
+        )
+
 
 # --------------------------------------------------------------- SDDMM
 
@@ -226,6 +244,9 @@ def _spmm_t_kernel(m_max, t_sb,
 def _spmm_t_impl(t_lo, t_cnt, off, xbase, s_mat, g_pad, block, t_sb, m_max):
     ns_blocks = t_lo.shape[0]
     f_pad = g_pad.shape[1]
+    _check_vmem("spmm_t", 2 * m_max * block * (
+        block * s_mat.dtype.itemsize + f_pad * g_pad.dtype.itemsize
+    ) + block * f_pad * 4)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -1051,6 +1072,10 @@ def _attn_dkdv_impl(t_lo, t_cnt, off, xbase, s_mat, q_pad, g_pad, stats,
                     k_pad, v_pad, block, t_sb, m_max, scale):
     ns_blocks = t_lo.shape[0]
     f_pad = q_pad.shape[-1]
+    _check_vmem("attn_dkdv", 2 * m_max * block * (
+        block * s_mat.dtype.itemsize
+        + f_pad * (q_pad.dtype.itemsize + g_pad.dtype.itemsize) + 4
+    ) + 2 * block * f_pad * 4)
 
     kv_idx = lambda c, *_: (c, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1191,6 +1216,10 @@ def _attn_dkdv_impl_b(t_lo, t_cnt, off, xbase, s_mat, q_pad, g_pad, stats,
                       k_pad, v_pad, block, t_sb, m_max, scale):
     ns_blocks = t_lo.shape[0]
     nb, _, f_pad = q_pad.shape
+    _check_vmem("attn_dkdv_b", 2 * m_max * block * (
+        block * s_mat.dtype.itemsize
+        + f_pad * (q_pad.dtype.itemsize + g_pad.dtype.itemsize) + 4
+    ) + 2 * block * f_pad * 4)
 
     kv_idx = lambda c, b, *_: (b, c, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1315,6 +1344,9 @@ def _spmm_t_impl_b(t_lo, t_cnt, off, xbase, s_mat, g_pad, block, t_sb,
                    m_max):
     ns_blocks = t_lo.shape[0]
     nb, _, f_pad = g_pad.shape
+    _check_vmem("spmm_t_b", 2 * m_max * block * (
+        block * s_mat.dtype.itemsize + f_pad * g_pad.dtype.itemsize
+    ) + block * f_pad * 4)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

@@ -138,22 +138,16 @@ def ensemble_crps_loss_fn(
     and scored against the target with fair CRPS — directly optimizing
     ensemble skill instead of a deterministic L2.
     """
-    import jax
-
     from gwen_tpu import ensemble, losses
 
     def loss_fn(params, batch, graph):
         x, y, key = batch  # x, y: (B, N, C); key: jax PRNG key array
         b = x.shape[0]
-        # (B, K) perturbations in one batch-native draw — the leading dims
-        # fold into the batched aggregation kernels (vmap's Pallas batching
-        # rule cannot lower the diag kernel on TPU).
-        shape = (b, num_members) + x.shape[1:]
-        eps = (ensemble.correlated_noise(key, graph, shape,
-                                         smoothing_steps, x.dtype)
-               if graph is not None
-               else jax.random.normal(key, shape, x.dtype))
-        xs = x[:, None] + jnp.asarray(sigma, x.dtype) * eps  # (B, K, N, C)
+        # (B, K) perturbations in one batch-native draw (leading dims fold
+        # into the batched aggregation kernels; no vmap).
+        xs = ensemble.sample_perturbed_members(
+            key, x, num_members, sigma, graph, smoothing_steps, batch_dims=1
+        )  # (B, K, N, C)
         xs = xs.reshape((b * num_members,) + x.shape[1:])
         preds = model.apply(params, graph, xs)
         preds = preds.reshape((b, num_members) + y.shape[1:])  # (B, K, N, C)
@@ -216,8 +210,6 @@ def partitioned_ensemble_crps_loss_fn(
     context as jit *arguments* (closed-over O(edges) numpy tables would be
     inlined as compile-time constants; see Trainer docstring).
     """
-    import jax
-
     from gwen_tpu import ensemble
 
     def loss_fn(params, batch, context):
@@ -225,12 +217,10 @@ def partitioned_ensemble_crps_loss_fn(
         x, y, key = batch  # padded global node space
         b = x.shape[0]
         # Batch-native (B, K) draw — see ensemble_crps_loss_fn.
-        shape = (b, num_members) + x.shape[1:]
-        eps = (ensemble.correlated_noise(key, noise_graph, shape,
-                                         smoothing_steps, x.dtype)
-               if noise_graph is not None
-               else jax.random.normal(key, shape, x.dtype))
-        xs = x[:, None] + jnp.asarray(sigma, x.dtype) * eps  # (B, K, N, C)
+        xs = ensemble.sample_perturbed_members(
+            key, x, num_members, sigma, noise_graph, smoothing_steps,
+            batch_dims=1,
+        )  # (B, K, N, C)
         xs = xs.reshape((b * num_members,) + x.shape[1:])
         preds = apply_fn(params, xs, tables)
         preds = preds.reshape((b, num_members) + y.shape[1:])

@@ -71,3 +71,18 @@ def test_unknown_key_raises():
         cfg.apply_overrides(["nope.key=1"])
     with pytest.raises(KeyError):
         GwenConfig.from_flat({"bogus": 1})
+
+
+def test_bool_typo_raises_but_union_modes_pass():
+    """Plain bool fields reject arbitrary strings (train.retrain=ture must
+    not become a silently-truthy string — round-4 verdict weak #6); the
+    union-typed train.remat still accepts its string modes."""
+    cfg = GwenConfig()
+    cfg.apply_overrides(["train.remat=save_agg"])
+    assert cfg.train.remat == "save_agg"
+    cfg.apply_overrides(["train.remat=true"])
+    assert cfg.train.remat is True
+    with pytest.raises(ValueError, match="boolean"):
+        cfg.apply_overrides(["train.retrain=ture"])
+    with pytest.raises(ValueError, match="boolean"):
+        GwenConfig.from_dict({"train": {"retrain": "ture"}})
