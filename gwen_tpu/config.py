@@ -159,7 +159,10 @@ class TrainConfig:
     log_every: int = 10
     # jax.checkpoint the processor stack: false | true (full per-step
     # recompute) | "save_agg" (checkpoint aggregation outputs; the backward
-    # never re-runs the sparse kernel — the right default at L8+).
+    # never re-runs the sparse kernel — the right default at L8+) |
+    # "save_agg:K" (save aggs for only the first K steps — the middle
+    # ground when all-steps save_agg overflows HBM; pick K with
+    # gwen_tpu.train.remat.select_save_agg_steps).
     remat: "bool | str" = False
 
 
@@ -184,7 +187,9 @@ class MeshParallelConfig:
     # Single-chip aggregation kernel: "auto" picks the diagonal-window (v6)
     # layout when vertex positions are available (KD-patch ordering;
     # fastest measured at L7-L9), falling back to sliding/packed by S size.
-    # Explicit values: "diag" | "sliding" | "packed" | "segment".
+    # Explicit values: "diag" | "diag_packed" (1-bit S01 + rank-1 scales —
+    # exact for GCN norm, ~16x less S bandwidth; GCN processor only) |
+    # "sliding" | "packed" | "segment".
     kernel: str = "auto"
     # Streamed window width for the diag layout (rounded up to the block
     # multiple; ~2% of edges escape at 384 on KD-ordered icospheres).

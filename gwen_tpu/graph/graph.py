@@ -694,11 +694,17 @@ class DiagWindowGraph:
     superblock: int = struct.field(pytree_node=False)
     num_src_rows: int = struct.field(pytree_node=False)
     escape: Optional[EscapeFixup] = None
-    # In-kernel escape placement tables (None iff escape is None):
-    esc_start: Optional[Array] = None  # (num_blocks,) int32 — 8-aligned slice
-    #   start into the fix array; [lo_i, hi_i) ⊆ [esc_start_i, +esc_cnt_pad)
+    # In-kernel escape placement tables (None iff escape is None). SB-level
+    # (round 5): ONE union fix-slice DMA per *superblock* grid step instead
+    # of per-block padded slices — at L9 the per-block scheme moved
+    # 8 x cnt_pad x 512 B = 360 KB/step in 8 small DMAs (~4.1 ms of the
+    # 15.5 ms kernel); the union slice is ~127 KB in one DMA.
+    esc_start: Optional[Array] = None  # (num_super,) int32 — 8-aligned
+    #   union slice start into the fix array; every block's escape range
+    #   [lo_i, hi_i) ⊆ [esc_start_sb, +esc_cnt_pad)
     esc_lrow: Optional[Array] = None  # (num_blocks, esc_cnt_pad) int32 —
-    #   block-local dst row of fix[esc_start_i + j], or block_size (no-op)
+    #   block-local dst row of fix[esc_start_{i // superblock} + j], or
+    #   block_size (one-hot no-op)
     esc_cnt_pad: int = struct.field(pytree_node=False, default=0)
     # Hierarchical escape contraction (set when the escape set is large):
     # the escape graph compacted to its U unique endpoints is itself a
@@ -722,10 +728,26 @@ class DiagWindowGraph:
     t_lo: Optional[Array] = None  # (num_src_blocks,) int32 — first sub-block
     t_cnt: Optional[Array] = None  # (num_src_blocks,) int32 — range length
     t_max: int = struct.field(pytree_node=False, default=0)
+    # Bit-packed rank-1 S (``to_diag_window(packed=True)``): the kernel is
+    # bandwidth-bound at every scale (round-5 probe: removing 7/8 of the
+    # matmuls changes nothing), and S is the largest stream (786 KB of the
+    # ~2 MB per grid step at F=256 bf16) — so store only the 0/1 adjacency
+    # at 1 bit/entry (tile-ordered for the in-kernel ``_unpack_s01``) and
+    # fold the exactly-rank-1 GCN weights (w_e = a_r·a_s,
+    # :func:`rank1_scales`) into elementwise scales OUTSIDE the kernel:
+    # ``out = a ⊙ inner(a ⊙ x)`` where ``inner`` is the fully UNWEIGHTED
+    # windowed+escape operator (in scaled space the escape term is exactly
+    # the unweighted escape aggregation, so the symmetric custom VJP is
+    # untouched). ``s_mat`` is None on packed graphs.
+    s_pack: Optional[Array] = None  # (N_pad//8, W) uint8 — tile-ordered S01
+    r1_row: Optional[Array] = None  # (N_pad,) f32 — a on dst rows, 0 on pad
+    r1_col: Optional[Array] = None  # (max(N_pad, src_alloc),) f32 — a on src rows
 
     @property
     def num_padded_nodes(self) -> int:
-        return int(self.s_mat.shape[0])
+        if self.s_mat is not None:
+            return int(self.s_mat.shape[0])
+        return int(self.s_pack.shape[0]) * 8
 
     @property
     def buf_rows(self) -> int:
@@ -740,6 +762,64 @@ class DiagWindowGraph:
         return int(self.offsets.shape[0])
 
 
+def _pack_tile_order(s01, block: int, device_build: bool):
+    """(N_pad, W) 0/1 → (N_pad//8, W) uint8, tile-ordered for the kernel's
+    ``_unpack_s01`` (block-local output row ``l`` = bit ``l // gpb`` of
+    packed row ``l % gpb``, ``gpb = block // 8`` — matches pltpu.repeat's
+    whole-array tiling semantics, measured on hardware)."""
+    n_pad, W = s01.shape
+    gpb = block // 8
+    nb = n_pad // block
+    if device_build:
+        v = jnp.asarray(s01).reshape(nb, 8, gpb, W).astype(jnp.uint8)
+        shifts = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
+        out = jnp.sum(v * shifts[None, :, None, None], axis=1)
+        return out.astype(jnp.uint8).reshape(nb * gpb, W)
+    v = np.asarray(s01).reshape(nb, 8, gpb, W).astype(np.uint8)
+    shifts = (np.uint8(1) << np.arange(8, dtype=np.uint8))
+    return (v * shifts[None, :, None, None]).sum(axis=1).astype(
+        np.uint8).reshape(nb * gpb, W)
+
+
+def _sb_escape_tables(lo, hi, uniq, u_pad, num_blocks, block, t_sb,
+                      cnt_pad: "int | None" = None):
+    """Superblock-union escape placement tables (shared with the
+    partitioned builder).
+
+    ``lo``/``hi``: per-destination-block contiguous ranges into the sorted
+    unique-receiver list; ``uniq``: destination row of each fix entry.
+    Returns ``(esc_start (num_super,), esc_lrow (num_blocks, cnt_pad),
+    cnt_pad)`` — one 8-aligned union slice per superblock covering all of
+    its blocks' ranges, and per-block one-hot row tables indexed relative
+    to that slice. ``cnt_pad`` may be forced (stacked partition tables
+    need one shared width)."""
+    num_super = num_blocks // t_sb
+    lo_sb = lo.reshape(num_super, t_sb)[:, 0]    # lo/hi are nondecreasing
+    hi_sb = hi.reshape(num_super, t_sb)[:, -1]
+    start = (lo_sb // 8) * 8
+    span = int((hi_sb - start).max(initial=1))
+    want = _round_up(max(span, 1) + 7, 8)
+    cnt_pad = want if cnt_pad is None else max(int(cnt_pad), want)
+    for _ in range(2):  # clamp can move a start left; widen once if needed
+        start = np.minimum(start, max(u_pad - cnt_pad, 0))
+        if (hi_sb - start <= cnt_pad).all():
+            break
+        cnt_pad = _round_up(int((hi_sb - start).max()) + 7, 8)
+    if cnt_pad > u_pad or not (hi_sb - start <= cnt_pad).all():
+        raise AssertionError("escape union slice does not fit the fix array")
+    e_idx = (np.repeat(start, t_sb)[:, None]
+             + np.arange(cnt_pad, dtype=np.int64))
+    valid = (e_idx >= lo[:, None]) & (e_idx < hi[:, None])
+    uniq_ext = np.concatenate([uniq, np.zeros(cnt_pad + 8, np.int64)])
+    lrow = np.where(
+        valid,
+        uniq_ext[np.minimum(e_idx, uniq_ext.size - 1)]
+        - (np.arange(num_blocks, dtype=np.int64) * block)[:, None],
+        block,  # one-hot never matches → no-op slot
+    ).astype(np.int32)
+    return start.astype(np.int32), lrow, int(cnt_pad)
+
+
 def to_diag_window(
     graph: Graph,
     *,
@@ -752,13 +832,24 @@ def to_diag_window(
     esc2_min_rows: int = 4096,
     n_pad: Optional[int] = None,
     transpose_tables: bool = False,
+    packed: bool = False,
 ) -> DiagWindowGraph:
     """Build the diagonal-window superblock layout (see
     :class:`DiagWindowGraph`). Requires a locality ordering
     (:func:`gwen_tpu.graph.reorder.kd_patch_order` for narrow windows with
     ~2 % escapes, or plain RCM with ``window_size`` ≥ the full band for
     zero escapes — RCM bands are symmetric around the diagonal, so the
-    global-diagonal constraint costs ~nothing either way)."""
+    global-diagonal constraint costs ~nothing either way).
+
+    ``packed=True`` stores S as 1-bit adjacency + rank-1 scales (see the
+    ``s_pack`` field docs) — exact for GCN-normalized weights (verified
+    edge-by-edge), ~16x less S bandwidth. Incompatible with
+    ``transpose_tables`` (attention needs the dense S mask)."""
+    if packed and transpose_tables:
+        raise ValueError("packed diag S cannot carry attention transpose "
+                         "tables (the fused attention kernels stream the "
+                         "dense S mask)")
+    r1 = rank1_scales(graph) if packed else None
     e = graph.num_edges
     n = graph.num_nodes
     s_np = np.asarray(graph.senders)[:e].astype(np.int64)
@@ -816,36 +907,29 @@ def to_diag_window(
     n_esc = int(esc_mask.sum())
     if n_esc:
         _check_weight_symmetry(s_np, r_np, w_np, n)
+        # packed: the inner operator is fully UNWEIGHTED (scales ride
+        # outside; in scaled space the escape term is exactly the
+        # unweighted escape aggregation — see the s_pack field docs).
+        w_esc = (np.ones(n_esc, np.float32) if packed
+                 else w_np[esc_mask])
         escape = _build_escape_fixup(
-            s_np[esc_mask], r_np[esc_mask], w_np[esc_mask], n,
+            s_np[esc_mask], r_np[esc_mask], w_esc, n,
             escape_pad_multiple,
             extra_rows=block + 16,  # in-kernel DMA slice stays in bounds
         )
         # In-kernel placement tables: unique receivers are sorted, so each
-        # destination block's escapes are a contiguous fix-array range.
+        # destination block's escapes are a contiguous fix-array range, and
+        # a superblock's blocks cover one contiguous union range — fetched
+        # with ONE DMA per grid step (see the class docstring).
         uniq = np.unique(r_np[esc_mask])
         u_pad = escape.nbr.shape[0]
         lo = np.searchsorted(uniq, np.arange(num_blocks, dtype=np.int64) * block)
         hi = np.searchsorted(
             uniq, (np.arange(num_blocks, dtype=np.int64) + 1) * block
         )
-        cnt_max = int((hi - lo).max())
-        esc_cnt_pad = _round_up(cnt_max + 7, 8)
-        esc_start = np.minimum((lo // 8) * 8, max(u_pad - esc_cnt_pad, 0))
-        if not (hi - esc_start <= esc_cnt_pad).all():
-            raise AssertionError("escape placement slice does not cover block")
-        e_idx = esc_start[:, None] + np.arange(esc_cnt_pad, dtype=np.int64)
-        valid = (e_idx >= lo[:, None]) & (e_idx < hi[:, None])
-        uniq_ext = np.concatenate(
-            [uniq, np.zeros(esc_cnt_pad + 8, np.int64)]
+        esc_start, esc_lrow, esc_cnt_pad = _sb_escape_tables(
+            lo, hi, uniq, u_pad, num_blocks, block, t_sb
         )
-        esc_lrow = np.where(
-            valid,
-            uniq_ext[np.minimum(e_idx, uniq_ext.size - 1)]
-            - (np.arange(num_blocks, dtype=np.int64) * block)[:, None],
-            block,  # one-hot never matches → no-op slot
-        ).astype(np.int32)
-        esc_start = esc_start.astype(np.int32)
 
         # Hierarchical contraction for large escape sets (see the
         # DiagWindowGraph docstring): compact to the U unique endpoints
@@ -864,7 +948,7 @@ def to_diag_window(
             g2 = Graph(
                 senders=inv2[es2].astype(np.int32),
                 receivers=inv2[er2].astype(np.int32),
-                weights=w_np[esc_mask].astype(np.float32),
+                weights=w_esc.astype(np.float32),
                 num_nodes=int(uniq.size),
                 num_edges=int(n_esc),
             )
@@ -885,7 +969,20 @@ def to_diag_window(
         window_size=W,
         forced_window_start=ws,
     )
-    s_mat = _build_s_ring(nbr_rel, nbr_w, W, dtype, device_build)
+    s_pack = r1_row = r1_col = None
+    if packed:
+        ones = (np.asarray(nbr_w) != 0).astype(np.float32)
+        s01 = _build_s_ring(nbr_rel, ones, W, np.int8, device_build)
+        s_pack = _pack_tile_order(s01, block, device_build)
+        s_mat = None
+        r1_row = np.zeros(n_pad, np.float32)
+        r1_row[:n] = r1
+        # n_pad-length so pre-padded (num_padded_nodes-row) chains multiply
+        # without a pad; the kernel only reads src rows < src_alloc anyway.
+        r1_col = np.zeros(max(n_pad, src_alloc), np.float32)
+        r1_col[:n] = r1
+    else:
+        s_mat = _build_s_ring(nbr_rel, nbr_w, W, dtype, device_build)
 
     xbase = np.clip(
         np.arange(num_super, dtype=np.int64) * t_sb * block - best_c,
@@ -913,6 +1010,9 @@ def to_diag_window(
         esc2_graph=esc2_graph,
         esc2_src=esc2_src,
         esc2_back=esc2_back,
+        s_pack=s_pack,
+        r1_row=r1_row,
+        r1_col=r1_col,
     )
     if transpose_tables:
         out = diag_transpose_tables(out)

@@ -85,7 +85,11 @@ class EncodeProcessDecode:
     # False | True (full per-step recompute) | "save_agg" (checkpoint the
     # aggregation outputs so the backward never re-runs the sparse kernel —
     # recompute only elementwise/matmul ops; ~1 extra (N, latent) live
-    # tensor per step of memory).
+    # tensor per step of memory) | "save_agg:K" (save aggs for only the
+    # first K steps, full recompute for the rest — the middle ground when
+    # all-steps save_agg overflows HBM; at L9 save_agg needs +5.4 GB and
+    # OOMs by 3.8, so K=1..2 is the largest policy that fits; see
+    # gwen_tpu.train.remat.select_save_agg_steps).
     remat: "bool | str" = False
     # "gcn" (normalized-adjacency aggregation, MXU/Pallas paths),
     # "interaction" (MeshGraphNets-style edge-MLP messages; segment path),
@@ -122,9 +126,38 @@ class EncodeProcessDecode:
                 }
         return params
 
+    def _norm_residual(self, norm_params, m: Array, h: Array) -> Array:
+        """Per-step tail ``h + layer_norm(m)`` — fused into one Pallas HBM
+        sweep on the residual path (the unfused chain is ~5 (N, latent)
+        sweeps and dominates the non-agg forward cost at L9)."""
+        if self.residual:
+            from gwen_tpu.ops.fused_ln import fused_residual_layernorm
+
+            return fused_residual_layernorm(norm_params, m, h)
+        return core.layer_norm_apply(norm_params, m)
+
     def apply(self, params: core.Params, graph, x: Array) -> Array:
         h = x.astype(self.compute_dtype)
         h = core.mlp_apply(params["encoder"], h)
+
+        # Keep node tensors at the graph's padded row count through the
+        # process loop: every aggregation then takes the kernel's
+        # pre-padded fast path instead of materializing a zeros+set copy
+        # of the full (N, latent) state per call (~4 ms/call at L9 — more
+        # than the in-kernel escape placement). Pad rows carry harmless
+        # garbage through elementwise ops; S has no entries for them.
+        pad_rows = 0
+        if self.processor == "gcn" and self.latent_size % 128 == 0:
+            from gwen_tpu.graph.graph import DiagWindowGraph
+
+            if (isinstance(graph, DiagWindowGraph)
+                    and h.shape[-2] == graph.num_nodes):
+                pad_rows = graph.num_padded_nodes - graph.num_nodes
+                if pad_rows > 0:
+                    zeros = jnp.zeros(
+                        h.shape[:-2] + (pad_rows, h.shape[-1]), h.dtype
+                    )
+                    h = jnp.concatenate([h, zeros], axis=-2)
 
         if self.processor == "interaction":
             from gwen_tpu.nn.interaction import interaction_apply
@@ -142,25 +175,35 @@ class EncodeProcessDecode:
                                           heads=self.attn_heads,
                                           backend=self.backend)
                 m = checkpoint_name(m, AGG_CKPT_NAME)
-                m = core.layer_norm_apply(p["norm"], m)
-                return h + m if self.residual else m
+                return self._norm_residual(p["norm"], m, h)
         else:
             def step(h, p):
                 m = gcn_apply(p["gcn"], graph, jax.nn.relu(h), backend=self.backend)
-                m = core.layer_norm_apply(p["norm"], m)
-                return h + m if self.residual else m
+                return self._norm_residual(p["norm"], m, h)
 
-        if self.remat == "save_agg":
+        save_k = None
+        if isinstance(self.remat, str) and self.remat.startswith("save_agg"):
+            save_k = (self.process_steps if self.remat == "save_agg"
+                      else int(self.remat.split(":", 1)[1]))
+        if save_k is not None:
             from gwen_tpu.nn.layers import AGG_CKPT_NAME
 
-            step = jax.checkpoint(
+            step_saved = jax.checkpoint(
                 step,
                 policy=jax.checkpoint_policies.save_only_these_names(
                     AGG_CKPT_NAME),
             )
+            step_full = jax.checkpoint(step, static_argnums=())
+            per_step = [step_saved if i < save_k else step_full
+                        for i in range(self.process_steps)]
         elif self.remat:
-            step = jax.checkpoint(step, static_argnums=())
-        for i in range(self.process_steps):
-            h = step(h, params[f"process_{i}"])
+            per_step = [jax.checkpoint(step, static_argnums=())] \
+                * self.process_steps
+        else:
+            per_step = [step] * self.process_steps
+        for i, st in enumerate(per_step):
+            h = st(h, params[f"process_{i}"])
+        if pad_rows > 0:
+            h = h[..., : h.shape[-2] - pad_rows, :]
         h = core.mlp_apply(params["decoder"], jax.nn.relu(h))
         return h.astype(x.dtype)

@@ -163,19 +163,43 @@ def aggregate_diag_window_reference(graph: DiagWindowGraph, x: Array) -> Array:
     n, f = x.shape[-2], x.shape[-1]
     leading = x.shape[:-2]
     src_alloc = graph.num_src_rows
+    n_pad = graph.num_padded_nodes
     rows = min(n, src_alloc)
     xp = jnp.zeros(leading + (src_alloc, f), x.dtype)
     xp = xp.at[..., :rows, :].set(x[..., :rows, :])
-    bs = graph.block_size
+    packed = graph.s_pack is not None
+    if packed:
+        # Same scale-outside-the-unweighted-operator scheme as the kernel
+        # (see DiagWindowGraph.s_pack).
+        xp = xp * graph.r1_col[:src_alloc].astype(xp.dtype)[:, None]
+        gpb = graph.block_size // 8
+        bit = jnp.asarray(graph.s_pack)
+        nb_ = graph.num_blocks
+        w_ = graph.window_size
+        # unpack tile order: block-local row l = bit l//gpb of packed row
+        # l % gpb.
+        pk = bit.reshape(nb_, gpb, w_)
+        rows_l = jnp.arange(graph.block_size)
+        s01 = ((pk[:, rows_l % gpb, :]
+                >> (rows_l // gpb)[None, :, None].astype(jnp.uint8)) & 1)
+        s_blocks = s01.astype(x.dtype)
+    else:
+        s_blocks = graph.s_mat.reshape(
+            graph.num_blocks, graph.block_size, graph.window_size
+        ).astype(x.dtype)
     w = graph.window_size
-    s_blocks = graph.s_mat.reshape(graph.num_blocks, bs, w)
     outs = []
     for b in range(graph.num_blocks):
         start = graph.xbase[b // graph.superblock] + graph.offsets[b]
         win = jax.lax.dynamic_slice_in_dim(xp, start, w, axis=-2)
-        outs.append(jnp.einsum("bw,...wf->...bf", s_blocks[b].astype(x.dtype), win))
+        outs.append(jnp.einsum("bw,...wf->...bf", s_blocks[b], win))
     out = jnp.concatenate(outs, axis=-2)
-    out = out[..., : graph.num_nodes, :]
+    if packed:
+        out = out * graph.r1_row.astype(out.dtype)[:, None]
+    # Pre-padded callers (EncodeProcessDecode keeps the chain at n_pad
+    # rows) get their row count back; everyone else gets num_nodes.
+    out_rows = n if n in (n_pad, src_alloc) else graph.num_nodes
+    out = out[..., :out_rows, :]
     from gwen_tpu.ops.spmm_pallas import _sliding_escape_add
 
     return _sliding_escape_add(graph, x, out)

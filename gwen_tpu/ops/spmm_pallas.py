@@ -906,7 +906,7 @@ def _spmm_sliding_dense_core(graph, x: Array, f_blk: "int | None" = None) -> Arr
 # ------------------------------ diagonal-window superblock kernel (v6)
 
 
-def _diag_kernel(window, buf, t_sb, num_super, cnt_pad, *refs):
+def _diag_kernel(window, buf, t_sb, num_super, cnt_pad, packed, *refs):
     """Per grid step: one fresh double-buffered DMA of the superblock's
     union x-window, then ``t_sb`` MXU matmuls — each sub-block contracts its
     (block, window) window-relative S tile against a block-aligned dynamic
@@ -914,12 +914,16 @@ def _diag_kernel(window, buf, t_sb, num_super, cnt_pad, *refs):
     ``t_sb``-fold vs the sliding kernel; S carries zero ring-slack columns.
 
     With ``cnt_pad > 0`` the escape contributions arrive as a (U, F) fix
-    array in HBM whose rows are sorted by destination: each sub-block DMAs
-    its contiguous ``cnt_pad``-row slice (``es_ref`` start, double-buffered
-    alongside x) and places it with a one-hot MXU matmul built from the
-    prefetched block-local row table. An XLA scatter placement measured
-    ~70 ns/row (2.7 ms at L8); this streams the same rows contiguously,
-    overlapped with the S stream."""
+    array in HBM whose rows are sorted by destination: the superblock's
+    blocks cover ONE contiguous union slice (``es_ref`` per-superblock
+    start, ``cnt_pad`` rows), fetched with a single DMA double-buffered
+    alongside x, and every sub-block places its rows with a one-hot MXU
+    matmul over the whole slice (prefetched block-local row tables; rows
+    outside the block hit the ``block`` sentinel → no-op columns). An XLA
+    scatter placement measured ~70 ns/row (2.7 ms at L8); per-*block*
+    padded slices (round 3/4) moved t_sb small DMAs of max-per-block
+    padded rows per step (~4.1 of 15.5 ms at L9); the union slice streams
+    the same rows once, overlapped with the S stream."""
     has_esc = cnt_pad > 0
     if has_esc:
         (off_ref, xb_ref, es_ref, s_ref, lrow_ref, fix_hbm, x_hbm,
@@ -927,7 +931,7 @@ def _diag_kernel(window, buf, t_sb, num_super, cnt_pad, *refs):
     else:
         off_ref, xb_ref, s_ref, x_hbm, out_ref, xbuf, sems = refs
     j = pl.program_id(0)
-    block = s_ref.shape[0] // t_sb
+    block = (s_ref.shape[0] * 8 if packed else s_ref.shape[0]) // t_sb
 
     def dma(sb, slot):
         base = pl.multiple_of(xb_ref[sb], block)
@@ -937,19 +941,17 @@ def _diag_kernel(window, buf, t_sb, num_super, cnt_pad, *refs):
             sems.at[slot],
         )
 
-    def fdma(sb, slot, t):
+    def fdma(sb, slot):
         return pltpu.make_async_copy(
-            fix_hbm.at[pl.ds(pl.multiple_of(es_ref[sb * t_sb + t], 8),
-                             cnt_pad), :],
-            fbuf.at[pl.ds((slot * t_sb + t) * cnt_pad, cnt_pad), :],
-            fsems.at[slot, t],
+            fix_hbm.at[pl.ds(pl.multiple_of(es_ref[sb], 8), cnt_pad), :],
+            fbuf.at[pl.ds(slot * cnt_pad, cnt_pad), :],
+            fsems.at[slot],
         )
 
     def start_all(sb, slot):
         dma(sb, slot).start()
         if has_esc:
-            for t in range(t_sb):
-                fdma(sb, slot, t).start()
+            fdma(sb, slot).start()
 
     @pl.when(j == 0)
     def _():
@@ -960,15 +962,20 @@ def _diag_kernel(window, buf, t_sb, num_super, cnt_pad, *refs):
     slot = jax.lax.rem(j, 2)
     dma(j, slot).wait()
     if has_esc:
-        for t in range(t_sb):
-            fdma(j, slot, t).wait()
+        fdma(j, slot).wait()
 
     prec = jax.lax.Precision.HIGHEST if xbuf.dtype == jnp.float32 else None
+    gpb = block // 8
     for t in range(t_sb):
         off = pl.multiple_of(off_ref[j * t_sb + t], block)
         xw = xbuf[pl.ds(slot * buf + off, window), :]
+        if packed:
+            s_t = _unpack_s01(s_ref[t * gpb:(t + 1) * gpb, :], block,
+                              window, xbuf.dtype)
+        else:
+            s_t = s_ref[t * block:(t + 1) * block, :].astype(xbuf.dtype)
         acc = jnp.dot(
-            s_ref[t * block:(t + 1) * block, :].astype(xbuf.dtype), xw,
+            s_t, xw,
             preferred_element_type=jnp.float32, precision=prec,
         )
         if has_esc:
@@ -976,7 +983,7 @@ def _diag_kernel(window, buf, t_sb, num_super, cnt_pad, *refs):
                 jax.lax.broadcasted_iota(jnp.int32, (block, cnt_pad), 0)
                 == lrow_ref[t, :].reshape(1, cnt_pad)
             ).astype(xbuf.dtype)
-            fchunk = fbuf[pl.ds((slot * t_sb + t) * cnt_pad, cnt_pad), :]
+            fchunk = fbuf[pl.ds(slot * cnt_pad, cnt_pad), :]
             acc = acc + jnp.dot(
                 onehot, fchunk,
                 preferred_element_type=jnp.float32, precision=prec,
@@ -988,18 +995,19 @@ def _diag_kernel(window, buf, t_sb, num_super, cnt_pad, *refs):
         start_all(jnp.minimum(j + 2, num_super - 1), slot)
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
 def _diag_impl(off, xbase, estart, s_mat, lrow, fix, x_pad,
-               block, window, t_sb, cnt_pad):
-    n_pad = s_mat.shape[0]
+               block, window, t_sb, cnt_pad, packed=False):
+    n_pad = s_mat.shape[0] * 8 if packed else s_mat.shape[0]
     f_pad = x_pad.shape[1]
     num_super = n_pad // (block * t_sb)
     buf = window + (t_sb - 1) * block
     has_esc = cnt_pad > 0
+    s_rows = (block * t_sb // 8) if packed else (block * t_sb)
 
     idx = lambda j, *_: (j, 0)  # noqa: E731 — shared block index map
     in_specs = [
-        pl.BlockSpec((block * t_sb, window), idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((s_rows, window), idx, memory_space=pltpu.VMEM),
     ]
     args = [off, xbase]
     scratch = [
@@ -1011,11 +1019,11 @@ def _diag_impl(off, xbase, estart, s_mat, lrow, fix, x_pad,
             pl.BlockSpec((t_sb, cnt_pad), idx, memory_space=pltpu.VMEM)
         )
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        scratch.append(pltpu.VMEM((2 * t_sb * cnt_pad, f_pad), x_pad.dtype))
+        scratch.append(pltpu.VMEM((2 * cnt_pad, f_pad), x_pad.dtype))
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if has_esc:
-        scratch.append(pltpu.SemaphoreType.DMA((2, t_sb)))
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
         call_args = args + [s_mat, lrow, fix, x_pad]
     else:
         call_args = args + [s_mat, x_pad]
@@ -1029,7 +1037,7 @@ def _diag_impl(off, xbase, estart, s_mat, lrow, fix, x_pad,
         scratch_shapes=scratch,
     )
     kernel = functools.partial(_diag_kernel, window, buf, t_sb, num_super,
-                               cnt_pad if has_esc else 0)
+                               cnt_pad if has_esc else 0, packed)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1045,7 +1053,7 @@ def _diag_impl(off, xbase, estart, s_mat, lrow, fix, x_pad,
     )(*call_args)
 
 
-def _diag_kernel_b(window, buf, t_sb, num_super, nb, cnt_pad, *refs):
+def _diag_kernel_b(window, buf, t_sb, num_super, nb, cnt_pad, packed, *refs):
     """Batched diag kernel: 2-D grid ``(num_super, nb)`` with the batch axis
     innermost, so each streamed (block·t_sb, window) S tile is fetched ONCE
     per superblock and reused across all ``nb`` batch entries (S traffic
@@ -1062,7 +1070,7 @@ def _diag_kernel_b(window, buf, t_sb, num_super, nb, cnt_pad, *refs):
     b = pl.program_id(1)
     step = j * nb + b
     total = num_super * nb
-    block = s_ref.shape[0] // t_sb
+    block = (s_ref.shape[0] * 8 if packed else s_ref.shape[0]) // t_sb
 
     def dma(s_idx, slot):
         jj = s_idx // nb
@@ -1074,21 +1082,20 @@ def _diag_kernel_b(window, buf, t_sb, num_super, nb, cnt_pad, *refs):
             sems.at[slot],
         )
 
-    def fdma(s_idx, slot, t):
+    def fdma(s_idx, slot):
         jj = s_idx // nb
         bb = jax.lax.rem(s_idx, nb)
         return pltpu.make_async_copy(
-            fix_hbm.at[bb, pl.ds(pl.multiple_of(es_ref[jj * t_sb + t], 8),
+            fix_hbm.at[bb, pl.ds(pl.multiple_of(es_ref[jj], 8),
                                  cnt_pad), :],
-            fbuf.at[pl.ds((slot * t_sb + t) * cnt_pad, cnt_pad), :],
-            fsems.at[slot, t],
+            fbuf.at[pl.ds(slot * cnt_pad, cnt_pad), :],
+            fsems.at[slot],
         )
 
     def start_all(s_idx, slot):
         dma(s_idx, slot).start()
         if has_esc:
-            for t in range(t_sb):
-                fdma(s_idx, slot, t).start()
+            fdma(s_idx, slot).start()
 
     @pl.when(step == 0)
     def _():
@@ -1099,15 +1106,20 @@ def _diag_kernel_b(window, buf, t_sb, num_super, nb, cnt_pad, *refs):
     slot = jax.lax.rem(step, 2)
     dma(step, slot).wait()
     if has_esc:
-        for t in range(t_sb):
-            fdma(step, slot, t).wait()
+        fdma(step, slot).wait()
 
     prec = jax.lax.Precision.HIGHEST if xbuf.dtype == jnp.float32 else None
+    gpb = block // 8
     for t in range(t_sb):
         off = pl.multiple_of(off_ref[j * t_sb + t], block)
         xw = xbuf[pl.ds(slot * buf + off, window), :]
+        if packed:
+            s_t = _unpack_s01(s_ref[t * gpb:(t + 1) * gpb, :], block,
+                              window, xbuf.dtype)
+        else:
+            s_t = s_ref[t * block:(t + 1) * block, :].astype(xbuf.dtype)
         acc = jnp.dot(
-            s_ref[t * block:(t + 1) * block, :].astype(xbuf.dtype), xw,
+            s_t, xw,
             preferred_element_type=jnp.float32, precision=prec,
         )
         if has_esc:
@@ -1115,7 +1127,7 @@ def _diag_kernel_b(window, buf, t_sb, num_super, nb, cnt_pad, *refs):
                 jax.lax.broadcasted_iota(jnp.int32, (block, cnt_pad), 0)
                 == lrow_ref[t, :].reshape(1, cnt_pad)
             ).astype(xbuf.dtype)
-            fchunk = fbuf[pl.ds((slot * t_sb + t) * cnt_pad, cnt_pad), :]
+            fchunk = fbuf[pl.ds(slot * cnt_pad, cnt_pad), :]
             acc = acc + jnp.dot(
                 onehot, fchunk,
                 preferred_element_type=jnp.float32, precision=prec,
@@ -1127,22 +1139,23 @@ def _diag_kernel_b(window, buf, t_sb, num_super, nb, cnt_pad, *refs):
         start_all(jnp.minimum(step + 2, total - 1), slot)
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
 def _diag_impl_b(off, xbase, estart, s_mat, lrow, fix, x_pad,
-                 block, window, t_sb, cnt_pad):
+                 block, window, t_sb, cnt_pad, packed=False):
     """Batched ``_diag_impl``: ``x_pad`` is (B, src, F); out (B, n_pad, F).
     Per-step VMEM is identical to the unbatched kernel (one (j, b) window
     at a time) — only the grid grows."""
-    n_pad = s_mat.shape[0]
+    n_pad = s_mat.shape[0] * 8 if packed else s_mat.shape[0]
     nb, _, f_pad = x_pad.shape
     num_super = n_pad // (block * t_sb)
     buf = window + (t_sb - 1) * block
     has_esc = cnt_pad > 0
+    s_rows = (block * t_sb // 8) if packed else (block * t_sb)
 
     s_idx = lambda j, b, *_: (j, 0)  # noqa: E731 — S reused across batch
     o_idx = lambda j, b, *_: (b, j, 0)  # noqa: E731
     in_specs = [
-        pl.BlockSpec((block * t_sb, window), s_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((s_rows, window), s_idx, memory_space=pltpu.VMEM),
     ]
     args = [off, xbase]
     scratch = [
@@ -1154,11 +1167,11 @@ def _diag_impl_b(off, xbase, estart, s_mat, lrow, fix, x_pad,
             pl.BlockSpec((t_sb, cnt_pad), s_idx, memory_space=pltpu.VMEM)
         )
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        scratch.append(pltpu.VMEM((2 * t_sb * cnt_pad, f_pad), x_pad.dtype))
+        scratch.append(pltpu.VMEM((2 * cnt_pad, f_pad), x_pad.dtype))
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if has_esc:
-        scratch.append(pltpu.SemaphoreType.DMA((2, t_sb)))
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
         call_args = args + [s_mat, lrow, fix, x_pad]
     else:
         call_args = args + [s_mat, x_pad]
@@ -1172,7 +1185,7 @@ def _diag_impl_b(off, xbase, estart, s_mat, lrow, fix, x_pad,
         scratch_shapes=scratch,
     )
     kernel = functools.partial(_diag_kernel_b, window, buf, t_sb, num_super,
-                               nb, cnt_pad if has_esc else 0)
+                               nb, cnt_pad if has_esc else 0, packed)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1190,7 +1203,8 @@ def _diag_impl_b(off, xbase, estart, s_mat, lrow, fix, x_pad,
 
 
 def _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
-                    block, window, t_sb, w_chunk, cnt_pad, e2_static):
+                    block, window, t_sb, w_chunk, cnt_pad, e2_static,
+                    packed=False):
     """Full composite: escape contributions gathered into the (U, F) fix
     array, then placed inside the kernel via contiguous DMA + one-hot
     matmul. ``nbr is None`` means no escapes. With ``e2`` (large escape
@@ -1226,32 +1240,41 @@ def _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
             None if fix is None else fix[..., c0:c0 + wc],
             xp[..., c0:c0 + wc],
             block, window, t_sb, cnt_pad if fix is not None else 0,
+            packed,
         ))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15))
 def _diag_comp_diff(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
-                    block, window, t_sb, w_chunk, cnt_pad, e2_static):
+                    block, window, t_sb, w_chunk, cnt_pad, e2_static,
+                    packed=False):
     return _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
-                           block, window, t_sb, w_chunk, cnt_pad, e2_static)
+                           block, window, t_sb, w_chunk, cnt_pad, e2_static,
+                           packed)
 
 
 def _diag_comp_fwd(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
-                   block, window, t_sb, w_chunk, cnt_pad, e2_static):
+                   block, window, t_sb, w_chunk, cnt_pad, e2_static,
+                   packed=False):
     out = _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
-                          block, window, t_sb, w_chunk, cnt_pad, e2_static)
+                          block, window, t_sb, w_chunk, cnt_pad, e2_static,
+                          packed)
     return out, (off, xbase, s_mat, nbr, w, estart, lrow, e2, xp.shape[-2])
 
 
-def _diag_comp_bwd(block, window, t_sb, w_chunk, cnt_pad, e2_static, res, g):
+def _diag_comp_bwd(block, window, t_sb, w_chunk, cnt_pad, e2_static, packed,
+                   res, g):
     # The composite operator (in-window S + symmetrized escapes) is globally
     # symmetric and zero on padding rows/cols, so the x-cotangent is the
-    # same composite applied to the cotangent's source-row slice.
+    # same composite applied to the cotangent's source-row slice. (The
+    # packed composite is the fully UNWEIGHTED symmetric operator — scales
+    # ride outside through ordinary autodiff.)
     off, xbase, s_mat, nbr, w, estart, lrow, e2, src_rows = res
     gx = _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2,
                          g[..., :src_rows, :], block, window, t_sb, w_chunk,
-                         cnt_pad, e2_static)
+                         cnt_pad, e2_static, packed)
     return (None, None, None, None, None, None, None,
             None if e2 is None else (None,) * len(e2),
             gx[..., :src_rows, :].astype(g.dtype))
@@ -1291,7 +1314,7 @@ def _spmm_diag_window_core(graph, x: Array, f_blk: "int | None" = None) -> Array
     # batched kernel — one (j, b) window buffers at a time).
     esc = graph.escape
     row_cost = 2 * graph.buf_rows + (
-        2 * graph.superblock * graph.esc_cnt_pad if esc is not None else 0
+        2 * graph.esc_cnt_pad if esc is not None else 0
     )
     w_budget = _SLIDING_RING_VMEM_BYTES // (row_cost * itemsize)
     w_chunk = max((w_budget // 128) * 128, 128)
@@ -1299,18 +1322,30 @@ def _spmm_diag_window_core(graph, x: Array, f_blk: "int | None" = None) -> Array
         w_chunk = min(w_chunk, max(_round_up(f_blk, 128), 128))
     w_chunk = min(w_chunk, f_pad)
 
+    # Pre-padded fast path: when callers keep node tensors at src_alloc
+    # rows (EncodeProcessDecode pads once around its process loop), the
+    # zeros+set materialization below is skipped entirely. That copy is a
+    # full extra HBM pass over x per call — at L9 it was ~4 ms of the
+    # 18.6 ms composite, bigger than the in-kernel escape placement.
+    prepadded = f == f_pad and n in (src_alloc, n_pad)
     if leading:
         # Batched path: one kernel call over a (B, src, F) natural layout —
         # the 2-D grid streams each S tile once and reuses it across the
         # batch (per-sample dispatches re-stream S B times).
         xb = x.reshape((-1,) + x.shape[-2:])
-        nb = xb.shape[0]
-        xp = jnp.zeros((nb, src_alloc, f_pad), x.dtype)
-        rows = min(n, src_alloc)
-        xp = xp.at[:, :rows, :f].set(xb[:, :rows])
+        if prepadded:
+            xp = xb
+        else:
+            nb = xb.shape[0]
+            xp = jnp.zeros((nb, src_alloc, f_pad), x.dtype)
+            rows = min(n, src_alloc)
+            xp = xp.at[:, :rows, :f].set(xb[:, :rows])
     else:
-        xp = jnp.zeros((src_alloc, f_pad), x.dtype)
-        xp = xp.at[: min(n, src_alloc), :f].set(x[: min(n, src_alloc)])
+        if prepadded:
+            xp = x
+        else:
+            xp = jnp.zeros((src_alloc, f_pad), x.dtype)
+            xp = xp.at[: min(n, src_alloc), :f].set(x[: min(n, src_alloc)])
 
     e2 = e2_static = None
     g2 = graph.esc2_graph
@@ -1319,15 +1354,25 @@ def _spmm_diag_window_core(graph, x: Array, f_blk: "int | None" = None) -> Array
               g2.delta_blocks)
         e2_static = (g2.block_size, g2.window_size, g2.max_delta_blocks,
                      g2.num_src_rows, g2.num_nodes, g2.num_edges)
+    packed = graph.s_pack is not None
+    if packed:
+        # Rank-1 scales ride outside the unweighted packed composite:
+        # out = a ⊙ inner(a ⊙ x) (XLA fuses both elementwise passes into
+        # the neighbors; the custom VJP sees only the symmetric inner op).
+        col = graph.r1_col[: xp.shape[-2]].astype(xp.dtype)
+        xp = xp * col[:, None]
     out = _diag_comp_diff(
-        graph.offsets, graph.xbase, graph.s_mat,
+        graph.offsets, graph.xbase,
+        graph.s_pack if packed else graph.s_mat,
         None if esc is None else esc.nbr,
         None if esc is None else esc.w,
         graph.esc_start, graph.esc_lrow, e2, xp,
         graph.block_size, graph.window_size, graph.superblock, w_chunk,
-        graph.esc_cnt_pad, e2_static,
+        graph.esc_cnt_pad, e2_static, packed,
     )
-    out = out[..., : graph.num_nodes, :f]
+    if packed:
+        out = out * graph.r1_row.astype(out.dtype)[:, None]
+    out = out[..., : (n if prepadded else graph.num_nodes), :f]
     if leading:
         out = out.reshape(leading + out.shape[-2:])
     return out

@@ -99,8 +99,9 @@ class HaloDiagGraph:
     superblock: int = struct.field(pytree_node=False)
     num_edges: int = struct.field(pytree_node=False)
     # Escape machinery (None/0 when the window covers every edge):
-    esc_start: "Array | None" = None  # (blocks,) int32 into the local fix
-    esc_lrow: "Array | None" = None  # (blocks, cnt_pad) int32
+    esc_start: "Array | None" = None  # (superblocks,) int32 — union fix
+    #   slice start per superblock (sb-level placement, see DiagWindowGraph)
+    esc_lrow: "Array | None" = None  # (blocks, cnt_pad) int32 — sb-relative
     loc_idx: "Array | None" = None  # (U_pp,) int32 — local x rows to extract
     back_loc: "Array | None" = None  # (U_pp,) int32 — c2 row per fix row
     idx2: "Array | None" = None  # (U,) int32 — gathered-layout row per c2 row
@@ -225,7 +226,7 @@ def _diag_halo_local(graph: "HaloDiagGraph", x_ext: Array,
     itemsize = jnp.dtype(x_ext.dtype).itemsize
     buf = graph.window_size + (graph.superblock - 1) * graph.block_size
     row_cost = 2 * buf + (
-        2 * graph.superblock * graph.cnt_pad if fix is not None else 0
+        2 * graph.cnt_pad if fix is not None else 0
     )
     w_budget = _SLIDING_RING_VMEM_BYTES // (row_cost * itemsize)
     w_chunk = min(max((w_budget // 128) * 128, 128), f_pad)
@@ -286,7 +287,8 @@ def _diag_halo_reference(graph: "HaloDiagGraph", x_ext: Array,
         )
         if fix is not None:
             fr = jax.lax.dynamic_slice_in_dim(
-                fix, graph.esc_start[b], graph.cnt_pad, axis=-2
+                fix, graph.esc_start[b // graph.superblock], graph.cnt_pad,
+                axis=-2,
             )
             onehot = (
                 jax.lax.broadcasted_iota(jnp.int32, (bs, graph.cnt_pad), 0)

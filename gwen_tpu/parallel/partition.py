@@ -430,28 +430,35 @@ def _partition_diag(
         owner = uniq[cpos] // n_local
         idx2 = (owner * u_pp + (cpos - ulo[owner])).astype(np.int32)
         # per-partition in-kernel placement tables against the LOCAL slice
-        esc_start_l = np.zeros((num_parts, nb_loc), np.int32)
+        # (sb-level union-slice scheme, shared with to_diag_window; the
+        # stacked tables need ONE cnt_pad across partitions, so take the
+        # max required width first).
+        from gwen_tpu.graph.graph import _sb_escape_tables
+
+        blk_bounds = np.arange(nb_loc + 1, dtype=np.int64) * block
+        lohi = []
+        need = cnt_pad
+        for p in range(num_parts):
+            u_loc = uniq[ulo[p]:uhi[p]] - p * n_local  # sorted, in [0, n_local)
+            lo = np.searchsorted(u_loc, blk_bounds[:-1])
+            hi = np.searchsorted(u_loc, blk_bounds[1:])
+            lohi.append((lo, hi, u_loc))
+            lo_sb = lo.reshape(-1, t_sb)[:, 0]
+            hi_sb = hi.reshape(-1, t_sb)[:, -1]
+            need = max(need, _round_up(
+                int((hi_sb - (lo_sb // 8) * 8).max(initial=1)) + 7, 8))
+        cnt_pad = need
+        esc_start_l = np.zeros((num_parts, ns_loc), np.int32)
         esc_lrow_l = np.full((num_parts, nb_loc, cnt_pad), block, np.int32)
         for p in range(num_parts):
-            k = int(u_part[p])
-            u_loc = uniq[ulo[p]:uhi[p]] - p * n_local  # sorted, in [0, n_local)
-            lo = np.searchsorted(u_loc, np.arange(nb_loc, dtype=np.int64) * block)
-            hi = np.searchsorted(
-                u_loc, (np.arange(nb_loc, dtype=np.int64) + 1) * block
+            lo, hi, u_loc = lohi[p]
+            est, lrow, got = _sb_escape_tables(
+                lo, hi, u_loc, u_pp, nb_loc, block, t_sb, cnt_pad=cnt_pad
             )
-            est = np.minimum((lo // 8) * 8, max(u_pp - cnt_pad, 0))
-            if not (hi - est <= cnt_pad).all():
+            if got != cnt_pad:
                 raise AssertionError("partitioned escape slice too narrow")
-            e_idx = est[:, None] + np.arange(cnt_pad, dtype=np.int64)
-            valid = (e_idx >= lo[:, None]) & (e_idx < hi[:, None])
-            u_ext = np.concatenate([u_loc, np.zeros(cnt_pad + 8, np.int64)])
-            esc_lrow_l[p] = np.where(
-                valid,
-                u_ext[np.minimum(e_idx, u_ext.size - 1)]
-                - (np.arange(nb_loc, dtype=np.int64) * block)[:, None],
-                block,
-            ).astype(np.int32)
-            esc_start_l[p] = est.astype(np.int32)
+            esc_start_l[p] = est
+            esc_lrow_l[p] = lrow
 
     counts = np.bincount(
         np.minimum(r // n_local, num_parts - 1), minlength=num_parts

@@ -112,3 +112,73 @@ def test_device_build_s_matches_host_build():
     )
     assert sd_dev.ring_rows == sd_host.ring_rows
     assert np.array_equal(np.asarray(sd_dev.delta_blocks), sd_host.delta_blocks)
+
+
+def test_fused_residual_layernorm_matches_unfused():
+    """Pallas fused h + layer_norm(m) == the jnp composite, fwd + all
+    grads, incl. batched leading dims and the odd-F fallback."""
+    import jax
+    import jax.numpy as jnp
+
+    from gwen_tpu.nn import core
+    from gwen_tpu.ops.fused_ln import fused_residual_layernorm
+
+    rng = np.random.default_rng(0)
+    for shape in [(700, 128), (3, 130, 256), (64, 96)]:  # 96: fallback path
+        m = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        h = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        p = core.layer_norm_init(shape[-1])
+        p = {
+            "scale": p["scale"] * 1.3 + 0.1,
+            "bias": p["bias"] + 0.2,
+        }
+
+        def fused(p_, m_, h_):
+            return jnp.sum(jnp.sin(fused_residual_layernorm(p_, m_, h_)))
+
+        def unfused(p_, m_, h_):
+            return jnp.sum(jnp.sin(h_ + core.layer_norm_apply(p_, m_)))
+
+        np.testing.assert_allclose(
+            float(fused(p, m, h)), float(unfused(p, m, h)), rtol=1e-5
+        )
+        gf = jax.grad(fused, argnums=(0, 1, 2))(p, m, h)
+        gu = jax.grad(unfused, argnums=(0, 1, 2))(p, m, h)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gu)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+            )
+
+
+def test_fused_residual_layernorm_bf16_and_remat():
+    """bf16 path + composition with jax.checkpoint(save_agg-style)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gwen_tpu.nn import core
+    from gwen_tpu.ops.fused_ln import fused_residual_layernorm
+
+    rng = np.random.default_rng(1)
+    m = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32),
+                    jnp.bfloat16)
+    h = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32),
+                    jnp.bfloat16)
+    p = core.layer_norm_init(128)
+
+    def loss(p_, m_, h_):
+        step = jax.checkpoint(
+            lambda mm: fused_residual_layernorm(p_, mm, h_)
+        )
+        return jnp.sum(step(m_).astype(jnp.float32))
+
+    want = float(jnp.sum(
+        (h + core.layer_norm_apply(p, m)).astype(jnp.float32)
+    ))
+    got = float(loss(p, m, h))
+    np.testing.assert_allclose(got, want, rtol=2e-2)
+    g = jax.grad(loss, argnums=1)(p, m, h)
+    assert g.dtype == jnp.bfloat16 and np.isfinite(
+        np.asarray(g, np.float32)
+    ).all()

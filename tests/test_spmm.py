@@ -630,3 +630,64 @@ def test_diag_window_hierarchical_escape_contraction():
         np.asarray(gotb), np.asarray(jnp.stack([want, want * 0.25])),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_diag_window_packed_rank1_matches_segment():
+    """packed=True (1-bit S01 + rank-1 scales outside the unweighted
+    composite) must be exact vs segment — fwd, grad, and batched — and
+    must agree between host and device(CPU) builds."""
+    from gwen_tpu.graph import (
+        apply_order,
+        build_graph,
+        icosphere_edges,
+        kd_patch_order,
+        to_diag_window,
+    )
+    from gwen_tpu.ops.spmm_pallas import spmm_diag_window
+
+    verts, s, r = icosphere_edges(3)
+    n = verts.shape[0]
+    perm = kd_patch_order(verts, s, r, n, leaf_size=64)
+    s, r, _ = apply_order(perm, s, r)
+    g = build_graph(s, r, n)
+    dw = to_diag_window(g, window_size=128, block_size=32, superblock=4,
+                        packed=True)
+    assert dw.s_mat is None and dw.s_pack is not None
+    assert dw.escape is not None and dw.escape.num_edges > 0
+    assert dw.s_pack.dtype == np.uint8
+    assert dw.s_pack.shape == (dw.num_padded_nodes // 8, dw.window_size)
+
+    x = jnp.asarray(
+        np.random.default_rng(51).normal(size=(n, 24)).astype(np.float32)
+    )
+    want = aggregate_segment(g, x)
+    got = spmm_diag_window(dw, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    f = lambda xx: jnp.sum(jnp.sin(spmm_diag_window(dw, xx)))  # noqa: E731
+    fr = lambda xx: jnp.sum(jnp.sin(aggregate_segment(g, xx)))  # noqa: E731
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(x)), np.asarray(jax.grad(fr)(x)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    xb = jnp.stack([x, x * 0.5])
+    gotb = spmm_diag_window(dw, xb)
+    np.testing.assert_allclose(
+        np.asarray(gotb), np.asarray(jnp.stack([want, want * 0.5])),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    # device-build parity (on CPU the "device" is the host backend).
+    dw2 = to_diag_window(g, window_size=128, block_size=32, superblock=4,
+                         packed=True, device_build=True)
+    np.testing.assert_array_equal(np.asarray(dw2.s_pack),
+                                  np.asarray(dw.s_pack))
+
+    # packed graphs cannot carry attention transpose tables.
+    import pytest
+
+    with pytest.raises(ValueError, match="packed"):
+        to_diag_window(g, window_size=128, block_size=32, superblock=4,
+                       packed=True, transpose_tables=True)

@@ -273,3 +273,72 @@ def test_gnn_loss_uses_unmasked_target():
     loss_broken, _ = loss_fn(params, {"x": x, "mask": mask})
     assert float(loss) > 0.5  # true-target loss is O(|data|)
     assert float(loss) != float(loss_broken)
+
+
+def test_partial_save_agg_remat_matches_no_remat():
+    """remat='save_agg:K' must be numerics-identical to remat=False for
+    fwd and grads — only the memory/recompute schedule changes."""
+    import jax.numpy as jnp
+
+    from gwen_tpu.graph import build_graph, complete_edges
+    from gwen_tpu.nn import EncodeProcessDecode
+
+    s, r = complete_edges(12)
+    g = build_graph(s, r, 12)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(12, 4)).astype(np.float32)
+    )
+
+    outs, grads = [], []
+    for remat in (False, "save_agg", "save_agg:2", "save_agg:0", True):
+        model = EncodeProcessDecode(
+            channels_in=4, channels_out=4, latent_size=8, process_steps=3,
+            backend="segment", remat=remat,
+        )
+        params = model.init(jax.random.key(0))
+
+        def loss(p):
+            return jnp.sum(jnp.sin(model.apply(p, g, x)))
+
+        outs.append(float(jax.jit(loss)(params)))
+        grads.append(jax.jit(jax.grad(loss))(params))
+    for o in outs[1:]:
+        np.testing.assert_allclose(o, outs[0], rtol=1e-6)
+    base = jax.tree_util.tree_leaves(grads[0])
+    for gother in grads[1:]:
+        for a, b in zip(jax.tree_util.tree_leaves(gother), base):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
+
+def test_remat_policy_selection_from_budget():
+    """The L9 landscape (ROUND_NOTES r4): 15.75 GB chip, ~12 GB reserved,
+    1.34 GB per saved agg -> K=2 -> 'save_agg:2'; plenty of headroom ->
+    'save_agg'; none -> full remat."""
+    from gwen_tpu.train import remat_policy_for_budget, select_save_agg_steps
+
+    n, latent, steps = 2_622_464, 256, 4
+    gib = 1024**3
+    per = n * latent * 2
+    assert 1.2 * gib < per < 1.4 * gib
+
+    # avail = 3.75 GiB; per-agg = 1.2505 GiB -> 3 aggs need 3.7514 GiB
+    # (just over), so K = 2.
+    assert select_save_agg_steps(
+        n, latent, steps, budget_bytes=int(15.75 * gib),
+        reserved_bytes=12 * gib,
+    ) == 2
+    assert remat_policy_for_budget(
+        n, latent, steps, budget_bytes=int(15.75 * gib),
+        reserved_bytes=12 * gib,
+    ) == "save_agg:2"
+    assert remat_policy_for_budget(
+        n, latent, steps, budget_bytes=64 * gib, reserved_bytes=12 * gib,
+    ) == "save_agg"
+    assert remat_policy_for_budget(
+        n, latent, steps, budget_bytes=12 * gib, reserved_bytes=12 * gib,
+    ) is True
+    assert remat_policy_for_budget(
+        1024, 16, 2, budget_bytes=10 * gib, reserved_bytes=0,
+    ) == "save_agg"
