@@ -100,6 +100,8 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
             os.environ.get("GWEN_SCALING_REMAT", "0")),
         processor=processor,
         attn_heads=int(os.environ.get("GWEN_SCALING_HEADS", "2")),
+        attn_pack={"": None, "1": True, "0": False}[
+            os.environ.get("GWEN_SCALING_PACK", "")],
     )
     params = model.init(jax.random.key(0))
     opt = optax.adam(1e-4)
@@ -160,6 +162,10 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
         "batch": batch,
         "kernel": kernel,
         "processor": processor,
+        "attn_heads": (model.attn_heads if processor == "attention"
+                       else None),
+        "attn_pack": (os.environ.get("GWEN_SCALING_PACK", "auto")
+                      if processor == "attention" else None),
         "fwd_ms": round(t_fwd * 1e3, 3),
         "grad_ms": (round(t_grad * 1e3, 3) if t_grad is not None else None),
         "train_step_ms": round(t_step * 1e3, 3),

