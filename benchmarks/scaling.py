@@ -137,6 +137,18 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
         lambda xx, gr, p: model.apply(p, gr, xx), x, graph, state.params,
         iters=iters,
     )["mean_s"]
+    if os.environ.get("GWEN_SCALING_FWD_ONLY"):
+        # Regimes whose backward provably OOMs on one chip (L9 attention:
+        # 17.65 GB needed vs 15.75 even with the packed mask) still get an
+        # honest forward number; training there is the partitioned path.
+        ee = edges * max(batch, 1) * steps
+        return {
+            "levels": levels, "nodes": n, "edges": edges, "batch": batch,
+            "kernel": kernel, "processor": processor,
+            "fwd_ms": round(t_fwd * 1e3, 3),
+            "fwd_only": True,
+            "fwd_edges_per_s": round(ee / t_fwd, 1),
+        }
     t_grad = None
     if os.environ.get("GWEN_SCALING_SECTIONS"):
         # value_and_grad WITHOUT the optimizer — isolates backward cost

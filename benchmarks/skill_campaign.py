@@ -61,6 +61,11 @@ def main() -> None:
         cfg.model.processor = proc
         cfg.train.epochs = epochs
         cfg.train.calibrate_inflation = True
+        # remat is numerics-identical, so enabling it for a memory-bound
+        # family (the interaction net's (E, latent) edge tensors OOM by
+        # ~250 MB at L6 defaults) keeps the comparison fair.
+        if os.environ.get("GWEN_SKILL_REMAT"):
+            cfg.train.remat = True
         cfg.run.registry_root = os.environ.get(
             "GWEN_SKILL_REGISTRY", "/tmp/gwen_skill_runs"
         )

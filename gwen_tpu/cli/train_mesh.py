@@ -91,21 +91,24 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
                 "model.processor='attention' needs vertex positions for the "
                 "KD-patch diag-window layout"
             )
-        if kernel not in ("auto", "diag"):
+        if kernel not in ("auto", "diag", "diag_packed"):
             raise ValueError(
                 "model.processor='attention' requires mesh.kernel in "
-                f"('auto', 'diag'); got {kernel!r}"
+                f"('auto', 'diag', 'diag_packed'); got {kernel!r}"
             )
     use_diag = (
         not use_partition
         and (jax.default_backend() == "tpu" or processor == "attention")
         and kernel in ("auto", "diag", "diag_packed")
         and verts is not None
+        # the interaction net's edge MLP rides the COO/segment path — a
+        # windowed layout cannot express per-edge features
+        and processor != "interaction"
     )
-    if kernel == "diag_packed" and processor != "gcn":
+    if kernel == "diag_packed" and processor == "interaction":
         raise ValueError(
-            "mesh.kernel='diag_packed' supports only model.processor='gcn' "
-            "(attention/interaction need the dense S mask)"
+            "mesh.kernel='diag_packed' supports model.processor='gcn' and "
+            "'attention' (the interaction net rides the segment path)"
         )
     part_diag = (
         use_partition
@@ -225,7 +228,8 @@ def main(config: GwenConfig, members: int = 4, steps: int = 16, data: str = '') 
                 packed=(kernel == "diag_packed"),
                 transpose_tables=(processor == "attention"),
             )
-        elif jax.default_backend() == "tpu" and kernel != "segment":
+        elif (jax.default_backend() == "tpu" and kernel != "segment"
+              and processor != "interaction"):
             # Sliding-ring streamed-S kernel (x read once, one S stream
             # shared across folded batch members); S built on device so
             # only O(edges) bytes cross the host->device link. Where the

@@ -843,12 +843,10 @@ def to_diag_window(
 
     ``packed=True`` stores S as 1-bit adjacency + rank-1 scales (see the
     ``s_pack`` field docs) — exact for GCN-normalized weights (verified
-    edge-by-edge), ~16x less S bandwidth. Incompatible with
-    ``transpose_tables`` (attention needs the dense S mask)."""
-    if packed and transpose_tables:
-        raise ValueError("packed diag S cannot carry attention transpose "
-                         "tables (the fused attention kernels stream the "
-                         "dense S mask)")
+    edge-by-edge), ~16x less S bandwidth. Composes with
+    ``transpose_tables``: the fused attention kernels unpack the S01 bits
+    into the softmax mask in-kernel (the mask stream is 1.9 GB of bf16 at
+    L9 unpacked — the bits are 120 MB)."""
     r1 = rank1_scales(graph) if packed else None
     e = graph.num_edges
     n = graph.num_nodes

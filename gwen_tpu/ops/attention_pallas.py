@@ -46,7 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gwen_tpu.graph.graph import DiagWindowGraph
-from gwen_tpu.ops.spmm_pallas import _diag_impl, _interpret, _round_up
+from gwen_tpu.ops.spmm_pallas import (_diag_impl, _interpret, _round_up,
+                                      _unpack_s01)
 
 Array = jnp.ndarray
 
@@ -469,22 +470,35 @@ def diag_matvec_reference(graph: DiagWindowGraph, s: Array, x: Array) -> Array:
 
 # ------------------------------------------- fused attention forward
 
-def _tile_softmax(q_t, kw, s_t, scale, prec):
+def _tile_softmax(q_t, kw, mask, scale, prec):
     """Scores matmul + masked softmax for one (rows, window-or-block)
-    tile. Returns (p, mx, den) — ``p`` is the probability tile (f32),
-    ``mx``/``den`` the per-row (rows, 1) f32 max and exp-sum softmax
-    stats (``den == 0`` for all-masked rows)."""
+    tile. ``mask`` is the boolean in-window adjacency tile (from the
+    streamed bf16 S tile ``!= 0``, or unpacked in-kernel from the 1-bit
+    S01 stream on packed graphs). Returns (p, mx, den) — ``p`` is the
+    probability tile (f32), ``mx``/``den`` the per-row (rows, 1) f32 max
+    and exp-sum softmax stats (``den == 0`` for all-masked rows)."""
     scores = jax.lax.dot_general(
         q_t, kw, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     ) * scale
-    mask = s_t != 0
     logits = jnp.where(mask, scores, jnp.float32(-1e30))
     mx = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - mx) * mask
     den = jnp.sum(e, axis=-1, keepdims=True)
     p = e / jnp.where(den == 0, 1.0, den)
     return p, mx, den
+
+
+def _mask_tile(s_ref, t, block, window, mp):
+    """Boolean mask tile for destination sub-block ``t``: either the
+    streamed bf16/f32 S tile ``!= 0``, or (``mp`` — packed graphs) the
+    1-bit tile-ordered S01 rows unpacked in-kernel (the mask stream drops
+    16x: 1.9 GB → 120 MB at L9, and with it the dkdv S-tile DMAs)."""
+    if mp:
+        gpb = block // 8
+        return _unpack_s01(s_ref[t * gpb:(t + 1) * gpb, :], block, window,
+                           jnp.bool_)
+    return s_ref[t * block:(t + 1) * block, :] != 0
 
 
 def _lane_halves(t):
@@ -505,7 +519,7 @@ def _lane_halves(t):
     return lo, t - lo
 
 
-def _attn_fwd_kernel(window, buf, t_sb, num_super, scale,
+def _attn_fwd_kernel(window, buf, t_sb, num_super, scale, mp,
                      off_ref, xb_ref, q_ref, s_ref, k_hbm, v_hbm,
                      out_ref, kbuf, vbuf, sems):
     """Fully fused windowed-attention forward: per sub-block, one MXU
@@ -545,8 +559,9 @@ def _attn_fwd_kernel(window, buf, t_sb, num_super, scale,
         kw = kbuf[pl.ds(slot * buf + off, window), :]
         vw = vbuf[pl.ds(slot * buf + off, window), :]
         q_t = q_ref[t * block:(t + 1) * block, :]
-        p, _, _ = _tile_softmax(q_t, kw, s_ref[t * block:(t + 1) * block, :],
-                                   scale, prec)
+        p, _, _ = _tile_softmax(q_t, kw,
+                                _mask_tile(s_ref, t, block, window, mp),
+                                scale, prec)
         out_ref[t * block:(t + 1) * block, :] = jnp.dot(
             p.astype(kbuf.dtype), vw,
             preferred_element_type=jnp.float32, precision=prec,
@@ -557,13 +572,14 @@ def _attn_fwd_kernel(window, buf, t_sb, num_super, scale,
         start(jnp.minimum(j + 2, num_super - 1), slot)
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
 def _attn_fwd_impl(off, xbase, q_pad, s_mat, k_pad, v_pad,
-                   block, window, t_sb, scale):
+                   block, window, t_sb, scale, mp=False):
     n_pad = q_pad.shape[0]
     f_pad = q_pad.shape[1]
     num_super = n_pad // (block * t_sb)
     buf = window + (t_sb - 1) * block
+    s_rows = (block * t_sb // 8) if mp else (block * t_sb)
 
     idx = lambda j, *_: (j, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -571,7 +587,7 @@ def _attn_fwd_impl(off, xbase, q_pad, s_mat, k_pad, v_pad,
         grid=(num_super,),
         in_specs=[
             pl.BlockSpec((block * t_sb, f_pad), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block * t_sb, window), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_rows, window), idx, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -584,7 +600,7 @@ def _attn_fwd_impl(off, xbase, q_pad, s_mat, k_pad, v_pad,
         ],
     )
     kernel = functools.partial(_attn_fwd_kernel, window, buf, t_sb,
-                               num_super, scale)
+                               num_super, scale, mp)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -600,7 +616,7 @@ def _attn_fwd_impl(off, xbase, q_pad, s_mat, k_pad, v_pad,
     )(off, xbase, q_pad, s_mat, k_pad, v_pad)
 
 
-def _attn_fwd_kernel_b(window, buf, t_sb, num_super, nb, scale, pack,
+def _attn_fwd_kernel_b(window, buf, t_sb, num_super, nb, scale, pack, mp,
                        off_ref, xb_ref, q_ref, s_ref, k_hbm, v_hbm,
                        out_ref, kbuf, vbuf, sems):
     """Batched fused forward: 2-D grid ``(num_super, nb)``, batch innermost
@@ -646,7 +662,7 @@ def _attn_fwd_kernel_b(window, buf, t_sb, num_super, nb, scale, pack,
         kw = kbuf[pl.ds(slot * buf + off, window), :]
         vw = vbuf[pl.ds(slot * buf + off, window), :]
         q_t = q_ref[0, t * block:(t + 1) * block, :]
-        s_t = s_ref[t * block:(t + 1) * block, :]
+        s_t = _mask_tile(s_ref, t, block, window, mp)
         if pack:
             k0, k1 = _lane_halves(kw)
             v0, v1 = _lane_halves(vw)
@@ -668,12 +684,13 @@ def _attn_fwd_kernel_b(window, buf, t_sb, num_super, nb, scale, pack,
         start(jnp.minimum(step + 2, total - 1), slot)
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
 def _attn_fwd_impl_b(off, xbase, q_pad, s_mat, k_pad, v_pad,
-                     block, window, t_sb, scale, pack=False):
+                     block, window, t_sb, scale, pack=False, mp=False):
     nb, n_pad, f_pad = q_pad.shape
     num_super = n_pad // (block * t_sb)
     buf = window + (t_sb - 1) * block
+    s_rows = (block * t_sb // 8) if mp else (block * t_sb)
 
     s_idx = lambda j, b, *_: (j, 0)  # noqa: E731 — S reused across batch
     q_idx = lambda j, b, *_: (b, j, 0)  # noqa: E731
@@ -683,7 +700,7 @@ def _attn_fwd_impl_b(off, xbase, q_pad, s_mat, k_pad, v_pad,
         in_specs=[
             pl.BlockSpec((1, block * t_sb, f_pad), q_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block * t_sb, window), s_idx,
+            pl.BlockSpec((s_rows, window), s_idx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -697,7 +714,7 @@ def _attn_fwd_impl_b(off, xbase, q_pad, s_mat, k_pad, v_pad,
         ],
     )
     kernel = functools.partial(_attn_fwd_kernel_b, window, buf, t_sb,
-                               num_super, nb, scale, pack)
+                               num_super, nb, scale, pack, mp)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -732,14 +749,14 @@ def _attn_fwd_impl_b(off, xbase, q_pad, s_mat, k_pad, v_pad,
 _STATS_ROWS = 4
 
 
-def _attn_dq_tile(q_t, kw, vw, s_t, g_t, scale, prec):
+def _attn_dq_tile(q_t, kw, vw, mask, g_t, scale, prec):
     """Shared dQ tile computation: masked softmax (as in the forward),
     ``dP = g @ V_win^T`` on the MXU, the softmax cotangent
     ``dL = P ⊙ (dP − delta)·scale`` with ``delta = rowsum(dP ⊙ P)`` on the
     VPU, and ``dQ = dL @ K_win``. Returns (dq_f32, mx, den, delta) — the
     per-row stats the source-side pass needs to recompute P without
     having full rows."""
-    p, mx, den = _tile_softmax(q_t, kw, s_t, scale, prec)
+    p, mx, den = _tile_softmax(q_t, kw, mask, scale, prec)
     dp = jax.lax.dot_general(
         g_t, vw, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
@@ -751,7 +768,7 @@ def _attn_dq_tile(q_t, kw, vw, s_t, g_t, scale, prec):
     return dq, mx, den, delta
 
 
-def _attn_dq_kernel(window, buf, t_sb, num_super, scale,
+def _attn_dq_kernel(window, buf, t_sb, num_super, scale, mp,
                     off_ref, xb_ref, q_ref, g_ref, s_ref,
                     k_hbm, v_hbm, dq_ref, st_ref, kbuf, vbuf, sems):
     """Destination-side half of the flash backward: emits dQ plus the
@@ -791,8 +808,9 @@ def _attn_dq_kernel(window, buf, t_sb, num_super, scale,
         vw = vbuf[pl.ds(slot * buf + off, window), :]
         rows = slice(t * block, (t + 1) * block)
         dq, mx, den, delta = _attn_dq_tile(q_ref[rows, :], kw, vw,
-                                           s_ref[rows, :], g_ref[rows, :],
-                                           scale, prec)
+                                           _mask_tile(s_ref, t, block,
+                                                      window, mp),
+                                           g_ref[rows, :], scale, prec)
         dq_ref[rows, :] = dq.astype(dq_ref.dtype)
         st_ref[:, rows] = jax.lax.transpose(
             jnp.concatenate([mx, den, delta, mx], axis=1), (1, 0))
@@ -802,13 +820,14 @@ def _attn_dq_kernel(window, buf, t_sb, num_super, scale,
         start(jnp.minimum(j + 2, num_super - 1), slot)
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
 def _attn_dq_impl(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
-                  block, window, t_sb, scale):
+                  block, window, t_sb, scale, mp=False):
     n_pad = q_pad.shape[0]
     f_pad = q_pad.shape[1]
     num_super = n_pad // (block * t_sb)
     buf = window + (t_sb - 1) * block
+    s_rows = (block * t_sb // 8) if mp else (block * t_sb)
 
     idx = lambda j, *_: (j, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -817,7 +836,7 @@ def _attn_dq_impl(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
         in_specs=[
             pl.BlockSpec((block * t_sb, f_pad), idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((block * t_sb, f_pad), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block * t_sb, window), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_rows, window), idx, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -833,7 +852,7 @@ def _attn_dq_impl(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
         ],
     )
     kernel = functools.partial(_attn_dq_kernel, window, buf, t_sb,
-                               num_super, scale)
+                               num_super, scale, mp)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -853,7 +872,7 @@ def _attn_dq_impl(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
     )(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad)
 
 
-def _attn_dq_kernel_b(window, buf, t_sb, num_super, nb, scale, pack,
+def _attn_dq_kernel_b(window, buf, t_sb, num_super, nb, scale, pack, mp,
                       off_ref, xb_ref, q_ref, g_ref, s_ref,
                       k_hbm, v_hbm, dq_ref, st_ref, kbuf, vbuf, sems):
     """Batched dQ kernel (S-mask tile reused across the batch). With
@@ -896,14 +915,15 @@ def _attn_dq_kernel_b(window, buf, t_sb, num_super, nb, scale, pack,
         kw = kbuf[pl.ds(slot * buf + off, window), :]
         vw = vbuf[pl.ds(slot * buf + off, window), :]
         rows = slice(t * block, (t + 1) * block)
+        s_t = _mask_tile(s_ref, t, block, window, mp)
         if pack:
             k0, k1 = _lane_halves(kw)
             v0, v1 = _lane_halves(vw)
             dq0, mx0, den0, dl0 = _attn_dq_tile(
-                q_ref[0, rows, :], k0, v0, s_ref[rows, :],
+                q_ref[0, rows, :], k0, v0, s_t,
                 g_ref[0, rows, :], scale, prec)
             dq1, mx1, den1, dl1 = _attn_dq_tile(
-                q_ref[0, rows, :], k1, v1, s_ref[rows, :],
+                q_ref[0, rows, :], k1, v1, s_t,
                 g_ref[0, rows, :], scale, prec)
             dq_ref[0, rows, :] = (dq0 + dq1).astype(dq_ref.dtype)
             st_ref[0, :, rows] = jax.lax.transpose(
@@ -911,7 +931,7 @@ def _attn_dq_kernel_b(window, buf, t_sb, num_super, nb, scale, pack,
                                  mx1, den1, dl1, mx1], axis=1), (1, 0))
         else:
             dq, mx, den, delta = _attn_dq_tile(q_ref[0, rows, :], kw, vw,
-                                               s_ref[rows, :],
+                                               s_t,
                                                g_ref[0, rows, :], scale,
                                                prec)
             dq_ref[0, rows, :] = dq.astype(dq_ref.dtype)
@@ -923,13 +943,14 @@ def _attn_dq_kernel_b(window, buf, t_sb, num_super, nb, scale, pack,
         start(jnp.minimum(step + 2, total - 1), slot)
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
 def _attn_dq_impl_b(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
-                    block, window, t_sb, scale, pack=False):
+                    block, window, t_sb, scale, pack=False, mp=False):
     nb, n_pad, f_pad = q_pad.shape
     num_super = n_pad // (block * t_sb)
     buf = window + (t_sb - 1) * block
     st_rows = 2 * _STATS_ROWS if pack else _STATS_ROWS
+    s_rows = (block * t_sb // 8) if mp else (block * t_sb)
 
     s_idx = lambda j, b, *_: (j, 0)  # noqa: E731 — S reused across batch
     q_idx = lambda j, b, *_: (b, j, 0)  # noqa: E731
@@ -941,7 +962,7 @@ def _attn_dq_impl_b(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block * t_sb, f_pad), q_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block * t_sb, window), s_idx,
+            pl.BlockSpec((s_rows, window), s_idx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -960,7 +981,7 @@ def _attn_dq_impl_b(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
         ],
     )
     kernel = functools.partial(_attn_dq_kernel_b, window, buf, t_sb,
-                               num_super, nb, scale, pack)
+                               num_super, nb, scale, pack, mp)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -983,7 +1004,7 @@ def _attn_dq_impl_b(off, xbase, q_pad, g_pad, s_mat, k_pad, v_pad,
 # ------------------------------- flash backward: dK + dV (src side)
 
 
-def _attn_dkdv_tile(q_t, g_t, mx_l, den_l, delta_l, k_c, v_c, s_t, scale,
+def _attn_dkdv_tile(q_t, g_t, mx_l, den_l, delta_l, k_c, v_c, mask, scale,
                     prec):
     """Shared dK/dV tile computation for one (dst sub-block j, src block
     c) pair, in TRANSPOSED (src-rows, dst-lanes) orientation: recompute
@@ -1001,13 +1022,14 @@ def _attn_dkdv_tile(q_t, g_t, mx_l, den_l, delta_l, k_c, v_c, s_t, scale,
     column per stat (1.5 KB vs 196 KB per covering tile — the stats DMA
     was the single largest operand of the un-transposed kernel, 0.76 GB
     of 1.37 GB per L7 d=256 pass). The only relayout left is one
-    (block, block) transpose of the mask tile; the accumulator matmuls
-    become standard row-major contractions in the bargain."""
+    (block, block) transpose of the boolean mask tile (done at the call
+    site — on packed graphs the mask is unpacked in-kernel from S01
+    bits first); the accumulator matmuls become standard row-major
+    contractions in the bargain."""
     scores = jax.lax.dot_general(
         k_c, q_t, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     ) * scale
-    mask = jax.lax.transpose(s_t, (1, 0)) != 0
     logits = jnp.where(mask, scores, jnp.float32(-1e30))
     p = (jnp.exp(logits - mx_l) * mask
          / jnp.where(den_l == 0, 1.0, den_l))
@@ -1028,7 +1050,7 @@ def _attn_dkdv_tile(q_t, g_t, mx_l, den_l, delta_l, k_c, v_c, s_t, scale,
     return dk_contrib, dv_contrib
 
 
-def _attn_dkdv_kernel(m_max, t_sb, scale,
+def _attn_dkdv_kernel(m_max, t_sb, scale, mp,
                       tlo_ref, tcnt_ref, off_ref, xb_ref,
                       k_ref, v_ref, s_hbm, q_hbm, g_hbm, st_hbm,
                       dk_ref, dv_ref, sbuf, qbuf, gbuf, stbuf,
@@ -1051,21 +1073,24 @@ def _attn_dkdv_kernel(m_max, t_sb, scale,
     c = pl.program_id(0)
     ns = pl.num_programs(0)
     block = dk_ref.shape[0]
+    spr = block // 8 if mp else block  # S rows per tile (S01 is 1/8 rows)
 
     def _rc(cc, m):
         j = tlo_ref[cc] + m
         start_ = xb_ref[j // t_sb] + off_ref[j]
         r0 = pl.multiple_of(j * block, block)
         c0 = pl.multiple_of(cc * block - start_, block)
-        return r0, c0
+        sr0 = pl.multiple_of(j * spr, spr)
+        return r0, c0, sr0
 
     def tile_dmas(cc, m, slot):
-        r0, c0 = _rc(cc, m)
+        r0, c0, sr0 = _rc(cc, m)
         o = (slot * m_max + m) * block
+        o_s = (slot * m_max + m) * spr
         return (
             pltpu.make_async_copy(
-                s_hbm.at[pl.ds(r0, block), pl.ds(c0, block)],
-                sbuf.at[pl.ds(o, block), :], sems.at[slot, m, 0]),
+                s_hbm.at[pl.ds(sr0, spr), pl.ds(c0, block)],
+                sbuf.at[pl.ds(o_s, spr), :], sems.at[slot, m, 0]),
             pltpu.make_async_copy(
                 q_hbm.at[pl.ds(r0, block), :],
                 qbuf.at[pl.ds(o, block), :], sems.at[slot, m, 1]),
@@ -1105,10 +1130,20 @@ def _attn_dkdv_kernel(m_max, t_sb, scale,
                 d.wait()
             o = slot * m_max * block + m * block
             rows = pl.ds(o, block)
+            s_rows = pl.ds((slot * m_max + m) * spr, spr)
+            # Transpose BEFORE the != 0 compare: Mosaic cannot legalize
+            # tpu.transpose on i1 vectors, so the relayout must happen on
+            # the numeric tile (unpack emits bf16 for the same reason).
+            if mp:
+                m_dst = _unpack_s01(sbuf[s_rows, :], block, block,
+                                    jnp.bfloat16)
+            else:
+                m_dst = sbuf[s_rows, :]
+            mask = jax.lax.transpose(m_dst, (1, 0)) != 0
             dk_c, dv_c = _attn_dkdv_tile(
                 qbuf[rows, :], gbuf[rows, :],
                 stbuf[0:1, rows], stbuf[1:2, rows], stbuf[2:3, rows],
-                k_ref[...], v_ref[...], sbuf[rows, :], scale, prec)
+                k_ref[...], v_ref[...], mask, scale, prec)
             dkacc[:] += dk_c
             dvacc[:] += dv_c
 
@@ -1116,14 +1151,16 @@ def _attn_dkdv_kernel(m_max, t_sb, scale,
     dv_ref[...] = dvacc[:].astype(dv_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13))
+@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13, 14))
 def _attn_dkdv_impl(t_lo, t_cnt, off, xbase, s_mat, q_pad, g_pad, stats,
-                    k_pad, v_pad, block, t_sb, m_max, scale):
+                    k_pad, v_pad, block, t_sb, m_max, scale, mp=False):
     ns_blocks = t_lo.shape[0]
     f_pad = q_pad.shape[-1]
-    _check_vmem("attn_dkdv", 2 * m_max * block * (
-        block * s_mat.dtype.itemsize
-        + f_pad * (q_pad.dtype.itemsize + g_pad.dtype.itemsize) + 4
+    spr = block // 8 if mp else block
+    _check_vmem("attn_dkdv", 2 * m_max * (
+        spr * block * s_mat.dtype.itemsize
+        + block * f_pad * (q_pad.dtype.itemsize + g_pad.dtype.itemsize)
+        + block * 4
     ) + 2 * block * f_pad * 4)
 
     kv_idx = lambda c, *_: (c, 0)  # noqa: E731
@@ -1147,7 +1184,7 @@ def _attn_dkdv_impl(t_lo, t_cnt, off, xbase, s_mat, q_pad, g_pad, stats,
             pl.BlockSpec((block, f_pad), kv_idx, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2 * m_max * block, block), s_mat.dtype),
+            pltpu.VMEM((2 * m_max * spr, block), s_mat.dtype),
             pltpu.VMEM((2 * m_max * block, f_pad), q_pad.dtype),
             pltpu.VMEM((2 * m_max * block, f_pad), g_pad.dtype),
             pltpu.VMEM((4, 2 * m_max * block), jnp.float32),
@@ -1156,7 +1193,7 @@ def _attn_dkdv_impl(t_lo, t_cnt, off, xbase, s_mat, q_pad, g_pad, stats,
             pltpu.SemaphoreType.DMA((2, m_max, 4)),
         ],
     )
-    kernel = functools.partial(_attn_dkdv_kernel, m_max, t_sb, scale)
+    kernel = functools.partial(_attn_dkdv_kernel, m_max, t_sb, scale, mp)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1176,7 +1213,7 @@ def _attn_dkdv_impl(t_lo, t_cnt, off, xbase, s_mat, q_pad, g_pad, stats,
     )(t_lo, t_cnt, off, xbase, k_pad, v_pad, s_mat, q_pad, g_pad, stats)
 
 
-def _attn_dkdv_kernel_b(m_max, t_sb, nb, scale, pack,
+def _attn_dkdv_kernel_b(m_max, t_sb, nb, scale, pack, mp,
                         tlo_ref, tcnt_ref, off_ref, xb_ref,
                         k_ref, v_ref, s_hbm, q_hbm, g_hbm, st_hbm,
                         dk_ref, dv_ref, sbuf, qbuf, gbuf, stbuf,
@@ -1197,23 +1234,26 @@ def _attn_dkdv_kernel_b(m_max, t_sb, nb, scale, pack,
     step = c * nb + b
     total = ns * nb
     block = dk_ref.shape[1]
+    spr = block // 8 if mp else block  # S rows per tile (S01 is 1/8 rows)
 
     def _rc(cc, m):
         j = tlo_ref[cc] + m
         start_ = xb_ref[j // t_sb] + off_ref[j]
         r0 = pl.multiple_of(j * block, block)
         c0 = pl.multiple_of(cc * block - start_, block)
-        return r0, c0
+        sr0 = pl.multiple_of(j * spr, spr)
+        return r0, c0, sr0
 
     def tile_dmas(s_idx, m, slot):
         cc = s_idx // nb
         bb = jax.lax.rem(s_idx, nb)
-        r0, c0 = _rc(cc, m)
+        r0, c0, sr0 = _rc(cc, m)
         o = (slot * m_max + m) * block
+        o_s = (slot * m_max + m) * spr
         return (
             pltpu.make_async_copy(
-                s_hbm.at[pl.ds(r0, block), pl.ds(c0, block)],
-                sbuf.at[pl.ds(o, block), :], sems.at[slot, m, 0]),
+                s_hbm.at[pl.ds(sr0, spr), pl.ds(c0, block)],
+                sbuf.at[pl.ds(o_s, spr), :], sems.at[slot, m, 0]),
             pltpu.make_async_copy(
                 q_hbm.at[bb, pl.ds(r0, block), :],
                 qbuf.at[pl.ds(o, block), :], sems.at[slot, m, 1]),
@@ -1254,6 +1294,15 @@ def _attn_dkdv_kernel_b(m_max, t_sb, nb, scale, pack,
                 d.wait()
             o = slot * m_max * block + m * block
             rows = pl.ds(o, block)
+            s_rows = pl.ds((slot * m_max + m) * spr, spr)
+            # see _attn_dkdv_kernel: transpose the numeric tile, then != 0
+            # (Mosaic cannot legalize tpu.transpose on i1 vectors)
+            if mp:
+                m_dst = _unpack_s01(sbuf[s_rows, :], block, block,
+                                    jnp.bfloat16)
+            else:
+                m_dst = sbuf[s_rows, :]
+            mask = jax.lax.transpose(m_dst, (1, 0)) != 0
             if pack:
                 q0, q1 = _lane_halves(qbuf[rows, :])
                 g0, g1 = _lane_halves(gbuf[rows, :])
@@ -1261,17 +1310,17 @@ def _attn_dkdv_kernel_b(m_max, t_sb, nb, scale, pack,
                 v0, v1 = _lane_halves(v_ref[0])
                 dk0, dv0 = _attn_dkdv_tile(
                     q0, g0, stbuf[0:1, rows], stbuf[1:2, rows],
-                    stbuf[2:3, rows], k0, v0, sbuf[rows, :], scale, prec)
+                    stbuf[2:3, rows], k0, v0, mask, scale, prec)
                 dk1, dv1 = _attn_dkdv_tile(
                     q1, g1, stbuf[4:5, rows], stbuf[5:6, rows],
-                    stbuf[6:7, rows], k1, v1, sbuf[rows, :], scale, prec)
+                    stbuf[6:7, rows], k1, v1, mask, scale, prec)
                 dkacc[:] += dk0 + dk1
                 dvacc[:] += dv0 + dv1
             else:
                 dk_c, dv_c = _attn_dkdv_tile(
                     qbuf[rows, :], gbuf[rows, :],
                     stbuf[0:1, rows], stbuf[1:2, rows], stbuf[2:3, rows],
-                    k_ref[0], v_ref[0], sbuf[rows, :], scale, prec)
+                    k_ref[0], v_ref[0], mask, scale, prec)
                 dkacc[:] += dk_c
                 dvacc[:] += dv_c
 
@@ -1279,15 +1328,18 @@ def _attn_dkdv_kernel_b(m_max, t_sb, nb, scale, pack,
     dv_ref[0] = dvacc[:].astype(dv_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13, 14))
+@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13, 14, 15))
 def _attn_dkdv_impl_b(t_lo, t_cnt, off, xbase, s_mat, q_pad, g_pad, stats,
-                      k_pad, v_pad, block, t_sb, m_max, scale, pack=False):
+                      k_pad, v_pad, block, t_sb, m_max, scale, pack=False,
+                      mp=False):
     ns_blocks = t_lo.shape[0]
     nb, _, f_pad = q_pad.shape
     st_rows = 2 * _STATS_ROWS if pack else _STATS_ROWS
-    _check_vmem("attn_dkdv_b", 2 * m_max * block * (
-        block * s_mat.dtype.itemsize
-        + f_pad * (q_pad.dtype.itemsize + g_pad.dtype.itemsize) + st_rows
+    spr = block // 8 if mp else block
+    _check_vmem("attn_dkdv_b", 2 * m_max * (
+        spr * block * s_mat.dtype.itemsize
+        + block * f_pad * (q_pad.dtype.itemsize + g_pad.dtype.itemsize)
+        + block * st_rows
     ) + 2 * block * f_pad * 4)
 
     kv_idx = lambda c, b, *_: (b, c, 0)  # noqa: E731
@@ -1308,7 +1360,7 @@ def _attn_dkdv_impl_b(t_lo, t_cnt, off, xbase, s_mat, q_pad, g_pad, stats,
             pl.BlockSpec((1, block, f_pad), kv_idx, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2 * m_max * block, block), s_mat.dtype),
+            pltpu.VMEM((2 * m_max * spr, block), s_mat.dtype),
             pltpu.VMEM((2 * m_max * block, f_pad), q_pad.dtype),
             pltpu.VMEM((2 * m_max * block, f_pad), g_pad.dtype),
             pltpu.VMEM((st_rows, 2 * m_max * block), jnp.float32),
@@ -1318,7 +1370,7 @@ def _attn_dkdv_impl_b(t_lo, t_cnt, off, xbase, s_mat, q_pad, g_pad, stats,
         ],
     )
     kernel = functools.partial(_attn_dkdv_kernel_b, m_max, t_sb, nb, scale,
-                               pack)
+                               pack, mp)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1461,24 +1513,45 @@ def _masked_softmax(s_mat, scores: Array) -> Array:
     return p / jnp.where(den == 0, 1.0, den)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def _mask_dense(graph: DiagWindowGraph) -> Array:
+    """Dense (N_pad, W) 0/1 mask — ``s_mat``, or the S01 bits expanded
+    (reference/unfused paths on packed graphs; the fused kernels unpack
+    per tile in-kernel instead)."""
+    if graph.s_mat is not None:
+        return graph.s_mat
+    sp = graph.s_pack  # (N_pad//8, W) uint8, tile-ordered (see graph.py)
+    block = graph.block_size
+    gpb = block // 8
+    nb = sp.shape[0] // gpb
+    p3 = sp.reshape(nb, gpb, sp.shape[1])
+    bits = jnp.stack([(p3 >> b) & 1 for b in range(8)], axis=1)
+    return bits.reshape(nb * block, sp.shape[1]).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
 def _attn_fused_diff(off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp,
-                     block, window, t_sb, m_max, scale, pack=False):
+                     block, window, t_sb, m_max, scale, pack=False,
+                     mp=False):
     if pack:
         return _attn_fwd_impl_b(off, xbase, qp, s_mat, kp, vp, block,
-                                window, t_sb, scale, True)
-    impl = _attn_fwd_impl_b if qp.ndim == 3 else _attn_fwd_impl
-    return impl(off, xbase, qp, s_mat, kp, vp, block, window, t_sb, scale)
+                                window, t_sb, scale, True, mp)
+    if qp.ndim == 3:
+        return _attn_fwd_impl_b(off, xbase, qp, s_mat, kp, vp, block,
+                                window, t_sb, scale, False, mp)
+    return _attn_fwd_impl(off, xbase, qp, s_mat, kp, vp, block, window,
+                          t_sb, scale, mp)
 
 
 def _attn_fused_fwd(off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp,
-                    block, window, t_sb, m_max, scale, pack=False):
+                    block, window, t_sb, m_max, scale, pack=False,
+                    mp=False):
     out = _attn_fused_diff(off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp,
-                           block, window, t_sb, m_max, scale, pack)
+                           block, window, t_sb, m_max, scale, pack, mp)
     return out, (off, xbase, s_mat, t_lo, t_cnt, qp, kp, vp)
 
 
-def _attn_fused_bwd(block, window, t_sb, m_max, scale, pack, res, g):
+def _attn_fused_bwd(block, window, t_sb, m_max, scale, pack, mp, res, g):
     """Flash-style backward in two kernel passes with NO ``(N_pad, window)``
     intermediate in HBM (the pre-flash design round-tripped bf16 dL and P
     tiles — 2·N·W bytes written + read each — through two transpose-SpMM
@@ -1489,16 +1562,16 @@ def _attn_fused_bwd(block, window, t_sb, m_max, scale, pack, res, g):
     g = g.astype(vp.dtype)
     if qp.ndim == 3:
         dq, stats = _attn_dq_impl_b(off, xbase, qp, g, s_mat, kp, vp,
-                                    block, window, t_sb, scale, pack)
+                                    block, window, t_sb, scale, pack, mp)
         dk, dv = _attn_dkdv_impl_b(t_lo, t_cnt, off, xbase, s_mat, qp, g,
                                    stats, kp, vp, block, t_sb,
-                                   m_max, scale, pack)
+                                   m_max, scale, pack, mp)
     else:
         dq, stats = _attn_dq_impl(off, xbase, qp, g, s_mat, kp, vp,
-                                  block, window, t_sb, scale)
+                                  block, window, t_sb, scale, mp)
         dk, dv = _attn_dkdv_impl(t_lo, t_cnt, off, xbase, s_mat, qp, g,
                                  stats, kp, vp, block, t_sb,
-                                 m_max, scale)
+                                 m_max, scale, mp)
     return (None, None, None, None, None,
             dq.astype(qp.dtype), dk.astype(kp.dtype), dv.astype(vp.dtype))
 
@@ -1517,7 +1590,9 @@ def windowed_attention(graph: DiagWindowGraph, q: Array, k: Array, v: Array,
     ``out[i] = Σ_j P[i, j] v[j]`` with ``P = softmax_j(q[i]·k[j]·scale)``
     over the graph neighbours ``j`` of ``i`` that fall inside ``i``'s
     diagonal window (the mask is ``graph.s_mat != 0`` — structure only, the
-    GCN weights are ignored). Out-of-window escape edges (~2 % at the
+    GCN weights are ignored; on ``packed=True`` graphs the kernels unpack
+    the 1-bit S01 stream into the mask in-kernel, 16x less mask bandwidth
+    and no dense S in HBM at all). Out-of-window escape edges (~2 % at the
     default window on KD-ordered meshes) are excluded by definition —
     windowed attention in the sliding-window-attention sense.
 
@@ -1564,10 +1639,12 @@ def windowed_attention(graph: DiagWindowGraph, q: Array, k: Array, v: Array,
                        else v, graph.num_src_rows, f_pad)
         if pack and qp.ndim == 2:
             qp, kp, vp = qp[None], kp[None], vp[None]
+        mp = graph.s_mat is None
         out = _attn_fused_diff(
-            graph.offsets, graph.xbase, graph.s_mat, graph.t_lo,
+            graph.offsets, graph.xbase,
+            graph.s_pack if mp else graph.s_mat, graph.t_lo,
             graph.t_cnt, qp, kp, vp, graph.block_size, graph.window_size,
-            graph.superblock, graph.t_max, float(scale), pack)
+            graph.superblock, graph.t_max, float(scale), pack, mp)
         if pack and not leading:
             out = out[0]
         out = out[..., :n, :f]
@@ -1602,7 +1679,7 @@ def windowed_attention(graph: DiagWindowGraph, q: Array, k: Array, v: Array,
         scores = diag_sddmm_reference(graph, q, k)
     else:
         scores = diag_sddmm(graph, q, k)
-    p = _masked_softmax(graph.s_mat,
+    p = _masked_softmax(_mask_dense(graph),
                         scores * jnp.float32(scale)).astype(v.dtype)
     if backend == "reference":
         out = diag_matvec_reference(graph, p, v)

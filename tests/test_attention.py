@@ -280,6 +280,55 @@ def test_windowed_attention_lane_packed():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_windowed_attention_packed_mask():
+    """Attention over a packed (1-bit S01) diag graph == the same graph
+    unpacked: the fused kernels unpack the mask in-kernel (fwd, dq, dkdv),
+    and the reference path expands the bits via _mask_dense."""
+    g, dw, n = _diag_graph()
+    from gwen_tpu.graph import to_diag_window
+
+    dwp = to_diag_window(g, window_size=dw.window_size,
+                         block_size=dw.block_size,
+                         superblock=dw.superblock,
+                         transpose_tables=True, packed=True)
+    assert dwp.s_mat is None and dwp.s_pack is not None
+    rng = np.random.default_rng(13)
+    f = 32
+    q, k, v = (jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+               for _ in range(3))
+
+    want = windowed_attention(dw, q, k, v)
+    got = windowed_attention(dwp, q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    ref = windowed_attention(dwp, q, k, v, backend="reference")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(graph):
+        def fn(q_, k_, v_):
+            return jnp.sum(jnp.sin(windowed_attention(graph, q_, k_, v_)))
+        return fn
+
+    gp = jax.grad(loss(dwp), argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss(dw), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gd, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+    # packed mask x packed heads compose
+    dh = 16
+    scale = 1.0 / np.sqrt(dh)
+    z = np.zeros((n, 128), np.float32)
+    z[:, :dh] = rng.normal(size=(n, dh))
+    z[:, 64:64 + dh] = rng.normal(size=(n, dh))
+    qq = jnp.asarray(z)
+    got2 = windowed_attention(dwp, qq, qq, qq, scale=scale, pack=True)
+    want2 = windowed_attention(dw, qq, qq, qq, scale=scale, pack=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_graph_attention_pack_override_matches():
     """pack=True (auto at heads=4, dh=8) == pack=False on the same params."""
     from gwen_tpu.nn.attention import graph_attention_apply, graph_attention_init

@@ -685,9 +685,10 @@ def test_diag_window_packed_rank1_matches_segment():
     np.testing.assert_array_equal(np.asarray(dw2.s_pack),
                                   np.asarray(dw.s_pack))
 
-    # packed graphs cannot carry attention transpose tables.
-    import pytest
-
-    with pytest.raises(ValueError, match="packed"):
-        to_diag_window(g, window_size=128, block_size=32, superblock=4,
-                       packed=True, transpose_tables=True)
+    # packed graphs compose with attention transpose tables (round 5: the
+    # fused attention kernels unpack the S01 mask in-kernel); the packed
+    # attention golden lives in test_attention.test_windowed_attention_
+    # packed_mask.
+    dw3 = to_diag_window(g, window_size=128, block_size=32, superblock=4,
+                         packed=True, transpose_tables=True)
+    assert dw3.t_max > 0 and dw3.s_mat is None
