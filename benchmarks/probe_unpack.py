@@ -68,9 +68,17 @@ def main() -> None:
         sp._unpack_s01 = _stub
 
     pg = to_diag_window(g, window_size=384, dtype=jnp.bfloat16, device_build=True,
-                        packed=(mode != "base"))
+                        packed=(mode not in ("base", "noesc")))
+    if mode.startswith("noesc"):
+        # Strip the escape machinery entirely (numerically wrong — ~2% of
+        # edges dropped; timing-only): isolates the windowed core from the
+        # esc2 contraction + fix DMA + in-kernel placement.
+        pg = pg.replace(escape=None, esc_start=None, esc_lrow=None,
+                        esc_cnt_pad=0, esc2_graph=None, esc2_src=None,
+                        esc2_back=None)
     pg = jax.device_put(pg)
-    x = jax.random.normal(jax.random.key(0), (n, feats), jnp.bfloat16)
+    rows = pg.num_src_rows if os.environ.get("GWEN_UNPACK_PREPAD") else n
+    x = jax.random.normal(jax.random.key(0), (rows, feats), jnp.bfloat16)
 
     t = scan_timeit(lambda xx, gr: sp._spmm_diag_window_core(gr, xx),
                     x, pg, iters=iters)["mean_s"]

@@ -732,13 +732,16 @@ class DiagWindowGraph:
     # bandwidth-bound at every scale (round-5 probe: removing 7/8 of the
     # matmuls changes nothing), and S is the largest stream (786 KB of the
     # ~2 MB per grid step at F=256 bf16) — so store only the 0/1 adjacency
-    # at 1 bit/entry (tile-ordered for the in-kernel ``_unpack_s01``) and
-    # fold the exactly-rank-1 GCN weights (w_e = a_r·a_s,
-    # :func:`rank1_scales`) into elementwise scales OUTSIDE the kernel:
-    # ``out = a ⊙ inner(a ⊙ x)`` where ``inner`` is the fully UNWEIGHTED
-    # windowed+escape operator (in scaled space the escape term is exactly
-    # the unweighted escape aggregation, so the symmetric custom VJP is
-    # untouched). ``s_mat`` is None on packed graphs.
+    # at 1 bit/entry (tile-ordered for the in-kernel ``_unpack_s01``) with
+    # the exactly-rank-1 GCN weights (w_e = a_r·a_s, :func:`rank1_scales`)
+    # rebuilt IN-KERNEL: the column scales ride a (1, buf) DMA alongside
+    # the x window and multiply the unpacked S tile ((1, window)
+    # broadcasts relayout-free), the row scales stream as a (1, N) VMEM
+    # block applied after the escape placement; escape tables carry
+    # w = a_s. S = a_r a_s ⊙ S01 stays symmetric, so the bwd-=-fwd custom
+    # VJP holds with the same scales. (XLA-side a⊙x / a⊙out passes can
+    # never fuse into a custom call — they cost ~4 full (N, F) HBM sweeps
+    # per aggregation, ~4.6 ms at L9.) ``s_mat`` is None on packed graphs.
     s_pack: Optional[Array] = None  # (N_pad//8, W) uint8 — tile-ordered S01
     r1_row: Optional[Array] = None  # (N_pad,) f32 — a on dst rows, 0 on pad
     r1_col: Optional[Array] = None  # (max(N_pad, src_alloc),) f32 — a on src rows
@@ -905,10 +908,13 @@ def to_diag_window(
     n_esc = int(esc_mask.sum())
     if n_esc:
         _check_weight_symmetry(s_np, r_np, w_np, n)
-        # packed: the inner operator is fully UNWEIGHTED (scales ride
-        # outside; in scaled space the escape term is exactly the
-        # unweighted escape aggregation — see the s_pack field docs).
-        w_esc = (np.ones(n_esc, np.float32) if packed
+        # packed: escape tables carry the SENDER scale w = a_s — the fix
+        # rows then arrive as Σ a_s x_s from UNSCALED x, and the kernel's
+        # in-kernel a_r row scale (applied after placement) completes
+        # w_e = a_r a_s for both the window and escape terms. (Round-5
+        # session 2: the scales used to ride outside as a ⊙ x / a ⊙ out
+        # XLA passes — ~4.6 ms of unfusable HBM traffic per call at L9.)
+        w_esc = (r1[s_np[esc_mask]].astype(np.float32) if packed
                  else w_np[esc_mask])
         escape = _build_escape_fixup(
             s_np[esc_mask], r_np[esc_mask], w_esc, n,

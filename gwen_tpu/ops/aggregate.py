@@ -169,8 +169,10 @@ def aggregate_diag_window_reference(graph: DiagWindowGraph, x: Array) -> Array:
     xp = xp.at[..., :rows, :].set(x[..., :rows, :])
     packed = graph.s_pack is not None
     if packed:
-        # Same scale-outside-the-unweighted-operator scheme as the kernel
-        # (see DiagWindowGraph.s_pack).
+        # Mirror the kernel's math: S = a_r a_s ⊙ S01 — column scales on
+        # the window input, the a_r row scale applied AFTER the escape add
+        # (escape tables carry w = a_s, so a_r distributes over both
+        # terms; see DiagWindowGraph.s_pack).
         xp = xp * graph.r1_col[:src_alloc].astype(xp.dtype)[:, None]
         gpb = graph.block_size // 8
         bit = jnp.asarray(graph.s_pack)
@@ -194,15 +196,16 @@ def aggregate_diag_window_reference(graph: DiagWindowGraph, x: Array) -> Array:
         win = jax.lax.dynamic_slice_in_dim(xp, start, w, axis=-2)
         outs.append(jnp.einsum("bw,...wf->...bf", s_blocks[b], win))
     out = jnp.concatenate(outs, axis=-2)
-    if packed:
-        out = out * graph.r1_row.astype(out.dtype)[:, None]
     # Pre-padded callers (EncodeProcessDecode keeps the chain at n_pad
     # rows) get their row count back; everyone else gets num_nodes.
     out_rows = n if n in (n_pad, src_alloc) else graph.num_nodes
     out = out[..., :out_rows, :]
     from gwen_tpu.ops.spmm_pallas import _sliding_escape_add
 
-    return _sliding_escape_add(graph, x, out)
+    out = _sliding_escape_add(graph, x, out)
+    if packed:
+        out = out * graph.r1_row[:out_rows].astype(out.dtype)[:, None]
+    return out
 
 
 def aggregate_sliding_packed_reference(graph: SlidingPackedGraph, x: Array) -> Array:

@@ -906,7 +906,8 @@ def _spmm_sliding_dense_core(graph, x: Array, f_blk: "int | None" = None) -> Arr
 # ------------------------------ diagonal-window superblock kernel (v6)
 
 
-def _diag_kernel(window, buf, t_sb, num_super, cnt_pad, packed, *refs):
+def _diag_kernel(window, buf, t_sb, num_super, cnt_pad, packed, scaled,
+                 *refs):
     """Per grid step: one fresh double-buffered DMA of the superblock's
     union x-window, then ``t_sb`` MXU matmuls — each sub-block contracts its
     (block, window) window-relative S tile against a block-aligned dynamic
@@ -925,11 +926,21 @@ def _diag_kernel(window, buf, t_sb, num_super, cnt_pad, packed, *refs):
     padded rows per step (~4.1 of 15.5 ms at L9); the union slice streams
     the same rows once, overlapped with the S stream."""
     has_esc = cnt_pad > 0
-    if has_esc:
-        (off_ref, xb_ref, es_ref, s_ref, lrow_ref, fix_hbm, x_hbm,
-         out_ref, xbuf, fbuf, sems, fsems) = refs
-    else:
-        off_ref, xb_ref, s_ref, x_hbm, out_ref, xbuf, sems = refs
+    it = iter(refs)
+    off_ref, xb_ref = next(it), next(it)
+    es_ref = next(it) if has_esc else None
+    s_ref = next(it)
+    lrow_ref = next(it) if has_esc else None
+    rs_ref = next(it) if scaled else None
+    fix_hbm = next(it) if has_esc else None
+    x_hbm = next(it)
+    c_hbm = next(it) if scaled else None
+    out_ref, xbuf = next(it), next(it)
+    fbuf = next(it) if has_esc else None
+    sems = next(it)
+    fsems = next(it) if has_esc else None
+    cbuf = next(it) if scaled else None
+    csem = next(it) if scaled else None
     j = pl.program_id(0)
     block = (s_ref.shape[0] * 8 if packed else s_ref.shape[0]) // t_sb
 
@@ -941,6 +952,17 @@ def _diag_kernel(window, buf, t_sb, num_super, cnt_pad, packed, *refs):
             sems.at[slot],
         )
 
+    def cdma(sb, slot):
+        # the column-scale array is sublane-replicated x16 so the per-slot
+        # DMA destination is tile-aligned for both f32 (8) and bf16 (16)
+        # tilings — Mosaic rejects dynamic 1-sublane memref slices.
+        base = pl.multiple_of(xb_ref[sb], block)
+        return pltpu.make_async_copy(
+            c_hbm.at[:, pl.ds(base, buf)],
+            cbuf.at[pl.ds(slot * 16, 16), :],
+            csem.at[slot],
+        )
+
     def fdma(sb, slot):
         return pltpu.make_async_copy(
             fix_hbm.at[pl.ds(pl.multiple_of(es_ref[sb], 8), cnt_pad), :],
@@ -950,6 +972,8 @@ def _diag_kernel(window, buf, t_sb, num_super, cnt_pad, packed, *refs):
 
     def start_all(sb, slot):
         dma(sb, slot).start()
+        if scaled:
+            cdma(sb, slot).start()
         if has_esc:
             fdma(sb, slot).start()
 
@@ -961,6 +985,8 @@ def _diag_kernel(window, buf, t_sb, num_super, cnt_pad, packed, *refs):
 
     slot = jax.lax.rem(j, 2)
     dma(j, slot).wait()
+    if scaled:
+        cdma(j, slot).wait()
     if has_esc:
         fdma(j, slot).wait()
 
@@ -972,6 +998,17 @@ def _diag_kernel(window, buf, t_sb, num_super, cnt_pad, packed, *refs):
         if packed:
             s_t = _unpack_s01(s_ref[t * gpb:(t + 1) * gpb, :], block,
                               window, xbuf.dtype)
+            if scaled:
+                # Rank-1 GCN weights rebuilt IN-KERNEL: S = a_r a_s ⊙ S01.
+                # The (1, window) column-scale slice broadcasts over
+                # sublanes relayout-free; the row scale applies after the
+                # escape add (escape fix rows carry Σ a_s x_s — tables
+                # built with w = a_s — so a_r distributes over both
+                # terms). Doing this here instead of scaling x/out in XLA
+                # saves ~4 full (N, F) HBM passes per call (~4.6 ms at
+                # L9): elementwise ops can never fuse INTO a custom call.
+                s_t = s_t * cbuf[pl.ds(slot * 16, 1),
+                                 pl.ds(off, window)]
         else:
             s_t = s_ref[t * block:(t + 1) * block, :].astype(xbuf.dtype)
         acc = jnp.dot(
@@ -988,6 +1025,10 @@ def _diag_kernel(window, buf, t_sb, num_super, cnt_pad, packed, *refs):
                 onehot, fchunk,
                 preferred_element_type=jnp.float32, precision=prec,
             )
+        if scaled:
+            rowt = jax.lax.transpose(
+                rs_ref[0:1, t * block:(t + 1) * block], (1, 0))
+            acc = acc * rowt.astype(jnp.float32)
         out_ref[t * block:(t + 1) * block, :] = acc.astype(out_ref.dtype)
 
     @pl.when(j + 2 < num_super)
@@ -1018,12 +1059,14 @@ def _pad_lrow(lrow, num_super, t_sb, cnt_pad):
 
 @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
 def _diag_impl(off, xbase, estart, s_mat, lrow, fix, x_pad,
-               block, window, t_sb, cnt_pad, packed=False):
+               block, window, t_sb, cnt_pad, packed=False,
+               rrow=None, rcol=None):
     n_pad = s_mat.shape[0] * 8 if packed else s_mat.shape[0]
     f_pad = x_pad.shape[1]
     num_super = n_pad // (block * t_sb)
     buf = window + (t_sb - 1) * block
     has_esc = cnt_pad > 0
+    scaled = packed and rrow is not None
     s_rows = (block * t_sb // 8) if packed else (block * t_sb)
 
     idx = lambda j, *_: (j, 0)  # noqa: E731 — shared block index map
@@ -1034,21 +1077,38 @@ def _diag_impl(off, xbase, estart, s_mat, lrow, fix, x_pad,
     scratch = [
         pltpu.VMEM((2 * buf, f_pad), x_pad.dtype),
     ]
+    mid_args = [s_mat]
     if has_esc:
         args.append(estart)
         lrow, lpr = _pad_lrow(lrow, num_super, t_sb, cnt_pad)
         in_specs.append(
             pl.BlockSpec((lpr, cnt_pad), idx, memory_space=pltpu.VMEM)
         )
+        mid_args.append(lrow)
+    if scaled:
+        # (1, n_pad) row scales as a streamed VMEM block; (1, src) column
+        # scales DMA'd per superblock window alongside x (5 KB/step).
+        in_specs.append(
+            pl.BlockSpec((1, block * t_sb), lambda j, *_: (0, j),
+                         memory_space=pltpu.VMEM)
+        )
+        mid_args.append(rrow)
+    if has_esc:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(pltpu.VMEM((2 * cnt_pad, f_pad), x_pad.dtype))
+        mid_args.append(fix)
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    mid_args.append(x_pad)
+    if scaled:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        mid_args.append(rcol)
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if has_esc:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))
-        call_args = args + [s_mat, lrow, fix, x_pad]
-    else:
-        call_args = args + [s_mat, x_pad]
+    if scaled:
+        scratch.append(pltpu.VMEM((2 * 16, buf), x_pad.dtype))
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    call_args = args + mid_args
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if has_esc else 2,
@@ -1059,7 +1119,7 @@ def _diag_impl(off, xbase, estart, s_mat, lrow, fix, x_pad,
         scratch_shapes=scratch,
     )
     kernel = functools.partial(_diag_kernel, window, buf, t_sb, num_super,
-                               cnt_pad if has_esc else 0, packed)
+                               cnt_pad if has_esc else 0, packed, scaled)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1075,19 +1135,31 @@ def _diag_impl(off, xbase, estart, s_mat, lrow, fix, x_pad,
     )(*call_args)
 
 
-def _diag_kernel_b(window, buf, t_sb, num_super, nb, cnt_pad, packed, *refs):
+def _diag_kernel_b(window, buf, t_sb, num_super, nb, cnt_pad, packed,
+                   scaled, *refs):
     """Batched diag kernel: 2-D grid ``(num_super, nb)`` with the batch axis
     innermost, so each streamed (block·t_sb, window) S tile is fetched ONCE
     per superblock and reused across all ``nb`` batch entries (S traffic
     ÷ nb vs per-sample dispatches — the S stream is the measured wall at
     F=256). x/fix stay in natural (B, rows, F) layout; each grid step DMAs
-    one (j, b) union window, double-buffered over the flattened step index."""
+    one (j, b) union window, double-buffered over the flattened step index.
+    ``scaled``: in-kernel rank-1 weights, see :func:`_diag_kernel`."""
     has_esc = cnt_pad > 0
-    if has_esc:
-        (off_ref, xb_ref, es_ref, s_ref, lrow_ref, fix_hbm, x_hbm,
-         out_ref, xbuf, fbuf, sems, fsems) = refs
-    else:
-        off_ref, xb_ref, s_ref, x_hbm, out_ref, xbuf, sems = refs
+    it = iter(refs)
+    off_ref, xb_ref = next(it), next(it)
+    es_ref = next(it) if has_esc else None
+    s_ref = next(it)
+    lrow_ref = next(it) if has_esc else None
+    rs_ref = next(it) if scaled else None
+    fix_hbm = next(it) if has_esc else None
+    x_hbm = next(it)
+    c_hbm = next(it) if scaled else None
+    out_ref, xbuf = next(it), next(it)
+    fbuf = next(it) if has_esc else None
+    sems = next(it)
+    fsems = next(it) if has_esc else None
+    cbuf = next(it) if scaled else None
+    csem = next(it) if scaled else None
     j = pl.program_id(0)
     b = pl.program_id(1)
     step = j * nb + b
@@ -1104,6 +1176,16 @@ def _diag_kernel_b(window, buf, t_sb, num_super, nb, cnt_pad, packed, *refs):
             sems.at[slot],
         )
 
+    def cdma(s_idx, slot):
+        # see the unbatched cdma: x16-replicated scales, tile-aligned slots
+        jj = s_idx // nb
+        base = pl.multiple_of(xb_ref[jj], block)
+        return pltpu.make_async_copy(
+            c_hbm.at[:, pl.ds(base, buf)],
+            cbuf.at[pl.ds(slot * 16, 16), :],
+            csem.at[slot],
+        )
+
     def fdma(s_idx, slot):
         jj = s_idx // nb
         bb = jax.lax.rem(s_idx, nb)
@@ -1116,6 +1198,8 @@ def _diag_kernel_b(window, buf, t_sb, num_super, nb, cnt_pad, packed, *refs):
 
     def start_all(s_idx, slot):
         dma(s_idx, slot).start()
+        if scaled:
+            cdma(s_idx, slot).start()
         if has_esc:
             fdma(s_idx, slot).start()
 
@@ -1127,6 +1211,8 @@ def _diag_kernel_b(window, buf, t_sb, num_super, nb, cnt_pad, packed, *refs):
 
     slot = jax.lax.rem(step, 2)
     dma(step, slot).wait()
+    if scaled:
+        cdma(step, slot).wait()
     if has_esc:
         fdma(step, slot).wait()
 
@@ -1138,6 +1224,9 @@ def _diag_kernel_b(window, buf, t_sb, num_super, nb, cnt_pad, packed, *refs):
         if packed:
             s_t = _unpack_s01(s_ref[t * gpb:(t + 1) * gpb, :], block,
                               window, xbuf.dtype)
+            if scaled:
+                s_t = s_t * cbuf[pl.ds(slot * 16, 1),
+                                 pl.ds(off, window)]
         else:
             s_t = s_ref[t * block:(t + 1) * block, :].astype(xbuf.dtype)
         acc = jnp.dot(
@@ -1154,6 +1243,10 @@ def _diag_kernel_b(window, buf, t_sb, num_super, nb, cnt_pad, packed, *refs):
                 onehot, fchunk,
                 preferred_element_type=jnp.float32, precision=prec,
             )
+        if scaled:
+            rowt = jax.lax.transpose(
+                rs_ref[0:1, t * block:(t + 1) * block], (1, 0))
+            acc = acc * rowt.astype(jnp.float32)
         out_ref[0, t * block:(t + 1) * block, :] = acc.astype(out_ref.dtype)
 
     @pl.when(step + 2 < total)
@@ -1163,7 +1256,8 @@ def _diag_kernel_b(window, buf, t_sb, num_super, nb, cnt_pad, packed, *refs):
 
 @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
 def _diag_impl_b(off, xbase, estart, s_mat, lrow, fix, x_pad,
-                 block, window, t_sb, cnt_pad, packed=False):
+                 block, window, t_sb, cnt_pad, packed=False,
+                 rrow=None, rcol=None):
     """Batched ``_diag_impl``: ``x_pad`` is (B, src, F); out (B, n_pad, F).
     Per-step VMEM is identical to the unbatched kernel (one (j, b) window
     at a time) — only the grid grows."""
@@ -1172,6 +1266,7 @@ def _diag_impl_b(off, xbase, estart, s_mat, lrow, fix, x_pad,
     num_super = n_pad // (block * t_sb)
     buf = window + (t_sb - 1) * block
     has_esc = cnt_pad > 0
+    scaled = packed and rrow is not None
     s_rows = (block * t_sb // 8) if packed else (block * t_sb)
 
     s_idx = lambda j, b, *_: (j, 0)  # noqa: E731 — S reused across batch
@@ -1183,21 +1278,36 @@ def _diag_impl_b(off, xbase, estart, s_mat, lrow, fix, x_pad,
     scratch = [
         pltpu.VMEM((2 * buf, f_pad), x_pad.dtype),
     ]
+    mid_args = [s_mat]
     if has_esc:
         args.append(estart)
         lrow, lpr = _pad_lrow(lrow, num_super, t_sb, cnt_pad)
         in_specs.append(
             pl.BlockSpec((lpr, cnt_pad), s_idx, memory_space=pltpu.VMEM)
         )
+        mid_args.append(lrow)
+    if scaled:
+        in_specs.append(
+            pl.BlockSpec((1, block * t_sb), lambda j, b, *_: (0, j),
+                         memory_space=pltpu.VMEM)
+        )
+        mid_args.append(rrow)
+    if has_esc:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(pltpu.VMEM((2 * cnt_pad, f_pad), x_pad.dtype))
+        mid_args.append(fix)
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    mid_args.append(x_pad)
+    if scaled:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        mid_args.append(rcol)
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if has_esc:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))
-        call_args = args + [s_mat, lrow, fix, x_pad]
-    else:
-        call_args = args + [s_mat, x_pad]
+    if scaled:
+        scratch.append(pltpu.VMEM((2 * 16, buf), x_pad.dtype))
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    call_args = args + mid_args
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if has_esc else 2,
@@ -1208,7 +1318,8 @@ def _diag_impl_b(off, xbase, estart, s_mat, lrow, fix, x_pad,
         scratch_shapes=scratch,
     )
     kernel = functools.partial(_diag_kernel_b, window, buf, t_sb, num_super,
-                               nb, cnt_pad if has_esc else 0, packed)
+                               nb, cnt_pad if has_esc else 0, packed,
+                               scaled)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1227,7 +1338,7 @@ def _diag_impl_b(off, xbase, estart, s_mat, lrow, fix, x_pad,
 
 def _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
                     block, window, t_sb, w_chunk, cnt_pad, e2_static,
-                    packed=False):
+                    packed=False, rrow=None, rcol=None):
     """Full composite: escape contributions gathered into the (U, F) fix
     array, then placed inside the kernel via contiguous DMA + one-hot
     matmul. ``nbr is None`` means no escapes. With ``e2`` (large escape
@@ -1235,7 +1346,14 @@ def _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
     compaction+RCM gather, a banded sliding-kernel contraction in compact
     space, and one gather back to placement (receiver-sorted) order —
     replacing the per-edge ELL gather whose random 512 B row reads cost
-    ~12 ns each."""
+    ~12 ns each.
+
+    ``rrow``/``rcol`` ((1, n_pad) / (1, src)): packed graphs' rank-1 GCN
+    weights, rebuilt IN-KERNEL (S = a_r a_s ⊙ S01). The escape tables of
+    such graphs are built with w = a_s, so the fix rows arrive as
+    Σ a_s x_s and only the in-kernel a_r row scale remains — x and out
+    are never scaled by XLA elementwise passes (which cannot fuse into a
+    custom call and cost ~4 full (N, F) HBM sweeps per call at L9)."""
     f_pad = xp.shape[-1]
     batched = xp.ndim == 3
     impl = _diag_impl_b if batched else _diag_impl
@@ -1263,7 +1381,7 @@ def _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
             None if fix is None else fix[..., c0:c0 + wc],
             xp[..., c0:c0 + wc],
             block, window, t_sb, cnt_pad if fix is not None else 0,
-            packed,
+            packed, rrow, rcol,
         ))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 
@@ -1272,19 +1390,20 @@ def _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
                    nondiff_argnums=(9, 10, 11, 12, 13, 14, 15))
 def _diag_comp_diff(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
                     block, window, t_sb, w_chunk, cnt_pad, e2_static,
-                    packed=False):
+                    packed=False, rrow=None, rcol=None):
     return _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
                            block, window, t_sb, w_chunk, cnt_pad, e2_static,
-                           packed)
+                           packed, rrow, rcol)
 
 
 def _diag_comp_fwd(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
                    block, window, t_sb, w_chunk, cnt_pad, e2_static,
-                   packed=False):
+                   packed=False, rrow=None, rcol=None):
     out = _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2, xp,
                           block, window, t_sb, w_chunk, cnt_pad, e2_static,
-                          packed)
-    return out, (off, xbase, s_mat, nbr, w, estart, lrow, e2, xp.shape[-2])
+                          packed, rrow, rcol)
+    return out, (off, xbase, s_mat, nbr, w, estart, lrow, e2, xp.shape[-2],
+                 rrow, rcol)
 
 
 def _diag_comp_bwd(block, window, t_sb, w_chunk, cnt_pad, e2_static, packed,
@@ -1292,15 +1411,17 @@ def _diag_comp_bwd(block, window, t_sb, w_chunk, cnt_pad, e2_static, packed,
     # The composite operator (in-window S + symmetrized escapes) is globally
     # symmetric and zero on padding rows/cols, so the x-cotangent is the
     # same composite applied to the cotangent's source-row slice. (The
-    # packed composite is the fully UNWEIGHTED symmetric operator — scales
-    # ride outside through ordinary autodiff.)
-    off, xbase, s_mat, nbr, w, estart, lrow, e2, src_rows = res
+    # packed composite carries the rank-1 scales in-kernel — S = a_r a_s
+    # ⊙ S01 is itself symmetric, so bwd = fwd with the SAME scales.)
+    (off, xbase, s_mat, nbr, w, estart, lrow, e2, src_rows,
+     rrow, rcol) = res
     gx = _diag_comp_impl(off, xbase, s_mat, nbr, w, estart, lrow, e2,
                          g[..., :src_rows, :], block, window, t_sb, w_chunk,
-                         cnt_pad, e2_static, packed)
+                         cnt_pad, e2_static, packed, rrow, rcol)
     return (None, None, None, None, None, None, None,
             None if e2 is None else (None,) * len(e2),
-            gx[..., :src_rows, :].astype(g.dtype))
+            gx[..., :src_rows, :].astype(g.dtype),
+            None, None)
 
 
 _diag_comp_diff.defvjp(_diag_comp_fwd, _diag_comp_bwd)
@@ -1378,12 +1499,22 @@ def _spmm_diag_window_core(graph, x: Array, f_blk: "int | None" = None) -> Array
         e2_static = (g2.block_size, g2.window_size, g2.max_delta_blocks,
                      g2.num_src_rows, g2.num_nodes, g2.num_edges)
     packed = graph.s_pack is not None
+    rrow = rcol = None
     if packed:
-        # Rank-1 scales ride outside the unweighted packed composite:
-        # out = a ⊙ inner(a ⊙ x) (XLA fuses both elementwise passes into
-        # the neighbors; the custom VJP sees only the symmetric inner op).
-        col = graph.r1_col[: xp.shape[-2]].astype(xp.dtype)
-        xp = xp * col[:, None]
+        # Rank-1 GCN weights rebuilt IN-KERNEL (S = a_r a_s ⊙ S01): the
+        # scales travel as (1, N) lane vectors — the row block streamed
+        # per superblock, the column window DMA'd alongside x — instead of
+        # XLA-materialized a⊙x / a⊙out passes (which cannot fuse into a
+        # custom call; ~4.6 ms of pure HBM traffic per call at L9).
+        # Escape tables on packed graphs carry w = a_s (graph.py), so the
+        # fix rows compose with the in-kernel a_r row scale exactly.
+        rrow = graph.r1_row[None, :].astype(xp.dtype)
+        # x16 sublane replication: the kernel's per-slot column-scale DMA
+        # destination must be tile-aligned (16 covers bf16's (16, 128)
+        # tiling; 8-row f32 tiles divide it). ~80 MB at L9 — 3% of x.
+        rcol = jnp.broadcast_to(
+            graph.r1_col[None, : xp.shape[-2]].astype(xp.dtype),
+            (16, xp.shape[-2]))
     out = _diag_comp_diff(
         graph.offsets, graph.xbase,
         graph.s_pack if packed else graph.s_mat,
@@ -1391,10 +1522,8 @@ def _spmm_diag_window_core(graph, x: Array, f_blk: "int | None" = None) -> Array
         None if esc is None else esc.w,
         graph.esc_start, graph.esc_lrow, e2, xp,
         graph.block_size, graph.window_size, graph.superblock, w_chunk,
-        graph.esc_cnt_pad, e2_static, packed,
+        graph.esc_cnt_pad, e2_static, packed, rrow, rcol,
     )
-    if packed:
-        out = out * graph.r1_row.astype(out.dtype)[:, None]
     out = out[..., : (n if prepadded else graph.num_nodes), :f]
     if leading:
         out = out.reshape(leading + out.shape[-2:])

@@ -633,9 +633,10 @@ def test_diag_window_hierarchical_escape_contraction():
 
 
 def test_diag_window_packed_rank1_matches_segment():
-    """packed=True (1-bit S01 + rank-1 scales outside the unweighted
-    composite) must be exact vs segment — fwd, grad, and batched — and
-    must agree between host and device(CPU) builds."""
+    """packed=True (1-bit S01; rank-1 GCN weights rebuilt IN-KERNEL —
+    column/row scale streams, escape tables carrying w = a_s) must be
+    exact vs segment — fwd, grad, and batched — and must agree between
+    host and device(CPU) builds."""
     from gwen_tpu.graph import (
         apply_order,
         build_graph,
@@ -676,6 +677,21 @@ def test_diag_window_packed_rank1_matches_segment():
     gotb = spmm_diag_window(dw, xb)
     np.testing.assert_allclose(
         np.asarray(gotb), np.asarray(jnp.stack([want, want * 0.5])),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    # Hierarchical (esc2) escape contraction with packed scales: force the
+    # banded-skeleton path (normally only large escape sets take it) —
+    # its S̃ now carries w = a_s, composed with the in-kernel a_r scale.
+    dw2 = to_diag_window(g, window_size=128, block_size=32, superblock=4,
+                         packed=True, esc2_min_rows=1)
+    assert dw2.esc2_graph is not None
+    got2 = spmm_diag_window(dw2, x)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    f2 = lambda xx: jnp.sum(jnp.sin(spmm_diag_window(dw2, xx)))  # noqa: E731
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f2)(x)), np.asarray(jax.grad(fr)(x)),
         rtol=1e-4, atol=1e-4,
     )
 
