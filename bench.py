@@ -208,8 +208,10 @@ def main() -> None:
             "ts": time.time(),
         }
         # Fused windowed-attention aggregation at the same level (needs the
-        # diag layout's transpose tables; GWEN_BENCH_ATTN=0 skips).
-        if kernel == "diag" and os.environ.get("GWEN_BENCH_ATTN", "1") == "1":
+        # diag layout's transpose tables — on diag_packed the kernels
+        # unpack the S01 mask in-kernel; GWEN_BENCH_ATTN=0 skips).
+        if (kernel in ("diag", "diag_packed")
+                and os.environ.get("GWEN_BENCH_ATTN", "1") == "1"):
             from gwen_tpu.graph import diag_transpose_tables
             from gwen_tpu.ops.attention_pallas import windowed_attention
 
