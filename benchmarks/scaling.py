@@ -96,7 +96,8 @@ def bench_level(levels: int, feats: int = 256, latent: int = 256,
     model = EncodeProcessDecode(
         channels_in=feats, channels_out=feats, latent_size=latent,
         process_steps=steps, compute_dtype=jnp.bfloat16,
-        remat=(lambda r: r if r.startswith("save_agg") else bool(int(r)))(
+        remat=(lambda r: r if r.startswith(("save_agg", "nested"))
+               else bool(int(r)))(
             os.environ.get("GWEN_SCALING_REMAT", "0")),
         processor=processor,
         attn_heads=int(os.environ.get("GWEN_SCALING_HEADS", "2")),

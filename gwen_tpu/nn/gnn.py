@@ -82,7 +82,10 @@ class EncodeProcessDecode:
     residual: bool = True
     compute_dtype: jnp.dtype = jnp.float32
     backend: str = "auto"
-    # False | True (full per-step recompute) | "save_agg" (checkpoint the
+    # False | True (full per-step recompute) | "nested:G" (checkpoint
+    # GROUPS of G steps with checkpointed inner steps — ceil(S/G) live
+    # boundaries instead of S, one extra fwd recompute per step; the
+    # policy that fits the L9 attention backward) | "save_agg" (checkpoint the
     # aggregation outputs so the backward never re-runs the sparse kernel —
     # recompute only elementwise/matmul ops; ~1 extra (N, latent) live
     # tensor per step of memory) | "save_agg:K" (save aggs for only the
@@ -185,6 +188,32 @@ class EncodeProcessDecode:
             def step(h, p):
                 m = gcn_apply(p["gcn"], graph, jax.nn.relu(h), backend=self.backend)
                 return self._norm_residual(p["norm"], m, h)
+
+        if isinstance(self.remat, str) and self.remat.startswith("nested"):
+            # Two-level remat: checkpoint GROUPS of G steps whose inner
+            # steps are themselves checkpointed. Only ceil(S/G) group
+            # boundaries stay live across the backward (vs S for
+            # remat=True) at the cost of one extra forward recompute per
+            # step — the policy that fits the L9 attention train step
+            # into HBM (remat=True needs S boundary states = 5.4 GB at
+            # S=4 and OOMs by 1.9 GB even with the packed mask).
+            g = int(self.remat.split(":", 1)[1])
+            inner = jax.checkpoint(step, static_argnums=())
+
+            def group(h, ps):
+                for p in ps:
+                    h = inner(h, p)
+                return h
+
+            group_ck = jax.checkpoint(group, static_argnums=())
+            for i0 in range(0, self.process_steps, g):
+                ps = [params[f"process_{i}"] for i in
+                      range(i0, min(i0 + g, self.process_steps))]
+                h = group_ck(h, ps)
+            if pad_rows > 0:
+                h = h[..., : h.shape[-2] - pad_rows, :]
+            h = core.mlp_apply(params["decoder"], jax.nn.relu(h))
+            return h.astype(x.dtype)
 
         save_k = None
         if isinstance(self.remat, str) and self.remat.startswith("save_agg"):

@@ -290,7 +290,8 @@ def test_partial_save_agg_remat_matches_no_remat():
     )
 
     outs, grads = [], []
-    for remat in (False, "save_agg", "save_agg:2", "save_agg:0", True):
+    for remat in (False, "save_agg", "save_agg:2", "save_agg:0", True,
+                  "nested:2", "nested:1", "nested:3"):
         model = EncodeProcessDecode(
             channels_in=4, channels_out=4, latent_size=8, process_steps=3,
             backend="segment", remat=remat,
